@@ -1,0 +1,23 @@
+"""Test bootstrap: force an 8-device virtual CPU platform so multi-chip
+sharding (pjit/shard_map over the (data, queue) mesh) is exercised without a
+real TPU pod — the fake-backend analog mandated by SURVEY.md §4."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_threefry_partitionable", True)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def cpu_devices():
+    devs = jax.devices()
+    assert len(devs) == 8, devs
+    return devs
