@@ -1,0 +1,154 @@
+"""EfficientNet-B0…B4 feature extractors in flax.linen, NHWC.
+
+Capability parity with the reference's ``efficientnet_pytorch`` backbones
+(``models/building_blocks/backbone_models.py:92-124``): MBConv inverted
+bottlenecks with squeeze-excitation and swish, width/depth compound scaling,
+feature-extractor output = post-head-conv spatial map with the reference's
+advertised channel counts (B0:1280, B1:1280, B2:1408, B3:1536, B4:1792).
+Implemented from the EfficientNet paper definition (not ported code).
+"""
+
+import functools
+import math
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+# (expand_ratio, out_channels, num_repeats, stride, kernel_size) per stage
+_BASE_BLOCKS = (
+    (1, 16, 1, 1, 3),
+    (6, 24, 2, 2, 3),
+    (6, 40, 2, 2, 5),
+    (6, 80, 3, 2, 3),
+    (6, 112, 3, 1, 5),
+    (6, 192, 4, 2, 5),
+    (6, 320, 1, 1, 3),
+)
+
+# variant -> (width_mult, depth_mult)
+_SCALING = {
+    "b0": (1.0, 1.0),
+    "b1": (1.0, 1.1),
+    "b2": (1.1, 1.2),
+    "b3": (1.2, 1.4),
+    "b4": (1.4, 1.8),
+}
+
+
+def round_filters(filters: int, width_mult: float, divisor: int = 8) -> int:
+    filters *= width_mult
+    new = max(divisor, int(filters + divisor / 2) // divisor * divisor)
+    if new < 0.9 * filters:
+        new += divisor
+    return int(new)
+
+
+def round_repeats(repeats: int, depth_mult: float) -> int:
+    return int(math.ceil(depth_mult * repeats))
+
+
+class SqueezeExcite(nn.Module):
+    reduced: int
+
+    @nn.compact
+    def __call__(self, x):
+        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        s = nn.Conv(self.reduced, (1, 1), name="reduce")(s)
+        s = nn.swish(s)
+        s = nn.Conv(x.shape[-1], (1, 1), name="expand")(s)
+        return x * nn.sigmoid(s)
+
+
+class MBConv(nn.Module):
+    filters: int
+    expand_ratio: int
+    kernel: int
+    strides: int
+    norm: Any
+    se_ratio: float = 0.25
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        y = x
+        expanded = in_ch * self.expand_ratio
+        if self.expand_ratio != 1:
+            y = nn.Conv(expanded, (1, 1), use_bias=False, name="expand_conv")(y)
+            y = self.norm(name="expand_bn")(y)
+            y = nn.swish(y)
+        pad = self.kernel // 2
+        y = nn.Conv(
+            expanded,
+            (self.kernel, self.kernel),
+            strides=(self.strides, self.strides),
+            padding=[(pad, pad)] * 2,
+            feature_group_count=expanded,
+            use_bias=False,
+            name="depthwise_conv",
+        )(y)
+        y = self.norm(name="depthwise_bn")(y)
+        y = nn.swish(y)
+        y = SqueezeExcite(max(1, int(in_ch * self.se_ratio)), name="se")(y)
+        y = nn.Conv(self.filters, (1, 1), use_bias=False, name="project_conv")(y)
+        y = self.norm(name="project_bn")(y)
+        if self.strides == 1 and in_ch == self.filters:
+            y = y + x
+        return y
+
+
+class EfficientNet(nn.Module):
+    """Spatial feature extractor; `__call__` returns [N, H/32, W/32, C_head]."""
+
+    variant: str = "b0"
+    bn_momentum: float = 0.9
+    bn_epsilon: float = 1e-3
+    dtype: Any = jnp.float32
+    axis_name: Optional[str] = None
+
+    @property
+    def output_channels(self) -> int:
+        width, _ = _SCALING[self.variant]
+        return round_filters(1280, width)
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        width, depth = _SCALING[self.variant]
+        norm = functools.partial(
+            nn.BatchNorm,
+            use_running_average=not train,
+            momentum=self.bn_momentum,
+            epsilon=self.bn_epsilon,
+            dtype=self.dtype,
+            axis_name=self.axis_name if train else None,
+        )
+        x = x.astype(self.dtype)
+        x = nn.Conv(
+            round_filters(32, width), (3, 3), strides=(2, 2),
+            padding=[(1, 1), (1, 1)], use_bias=False, name="stem_conv",
+        )(x)
+        x = norm(name="stem_bn")(x)
+        x = nn.swish(x)
+        block_idx = 0
+        for expand, channels, repeats, stride, kernel in _BASE_BLOCKS:
+            out_ch = round_filters(channels, width)
+            for r in range(round_repeats(repeats, depth)):
+                x = MBConv(
+                    filters=out_ch,
+                    expand_ratio=expand,
+                    kernel=kernel,
+                    strides=stride if r == 0 else 1,
+                    norm=norm,
+                    name=f"block_{block_idx}",
+                )(x)
+                block_idx += 1
+        x = nn.Conv(self.output_channels, (1, 1), use_bias=False, name="head_conv")(x)
+        x = norm(name="head_bn")(x)
+        return nn.swish(x)
+
+
+EfficientNetB0 = functools.partial(EfficientNet, variant="b0")
+EfficientNetB1 = functools.partial(EfficientNet, variant="b1")
+EfficientNetB2 = functools.partial(EfficientNet, variant="b2")
+EfficientNetB3 = functools.partial(EfficientNet, variant="b3")
+EfficientNetB4 = functools.partial(EfficientNet, variant="b4")
