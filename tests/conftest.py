@@ -4,13 +4,21 @@ real TPU pod — the fake-backend analog mandated by SURVEY.md §4."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The sandbox exports JAX_PLATFORMS=axon (remote TPU tunnel) and its
+# sitecustomize register() forces jax_platforms back to "axon,cpu", so the env
+# var alone is not enough — we must override the config after import too.
+# Set VINCE_TEST_TPU=1 to run @tpu tests on the real chip instead.
+_USE_TPU = bool(os.environ.get("VINCE_TEST_TPU"))
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 # Persistent compile cache: ResNet/EfficientNet CPU compiles dominate test time.
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")

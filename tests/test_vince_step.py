@@ -1,0 +1,139 @@
+"""End-to-end VINCE train step over a 4(data)×2(queue) CPU mesh: multi-source
+(video + ImageNet-CE) batch, shuffled-BN, sharded queue, EMA, SGD."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from vince_tpu.parallel.mesh import MeshSpec, make_mesh
+from vince_tpu.solvers.vince_step import (
+    SourceSpec,
+    VinceConfig,
+    init_vince_state,
+    make_embed_fn,
+    make_train_step,
+    shard_state,
+)
+from vince_tpu.utils.pytree import tree_norm
+
+
+def _make_batch(cfg, rng):
+    batch = []
+    for src in cfg.sources:
+        d = {
+            "data": jnp.asarray(
+                rng.randint(0, 256, (src.batch_size, 40, 40, 3), np.uint8)
+            ),
+            "queue_data": jnp.asarray(
+                rng.randint(0, 256, (src.batch_size, 40, 40, 3), np.uint8)
+            ),
+        }
+        if src.use_imagenet_ce:
+            d["labels"] = jnp.asarray(rng.randint(0, 1000, (src.batch_size,), np.int64).astype(np.int32))
+        batch.append(d)
+    return tuple(batch)
+
+
+@pytest.fixture(scope="module")
+def setup(cpu_devices):
+    cfg = VinceConfig(
+        sources=(
+            SourceSpec("R2V2", batch_size=16, num_frames=2, source_id=1),
+            SourceSpec("IN", batch_size=8, num_frames=1, use_imagenet_ce=True,
+                       transform="BasicImagenetTransform", source_id=0),
+        ),
+        backbone="ResNet18",
+        embed_size=16,
+        image_size=32,
+        queue_size=128,
+        data_axis_size=4,
+        queue_axis_size=2,
+        self_batch=True,
+    )
+    mesh = make_mesh(MeshSpec(data_axis_size=4, queue_axis_size=2))
+    optimizer = optax.chain(
+        optax.add_decayed_weights(1e-4), optax.sgd(0.03, momentum=0.9)
+    )
+    def make_state():
+        state = init_vince_state(jax.random.PRNGKey(0), cfg, optimizer)
+        return shard_state(state, mesh)
+
+    step_fn = make_train_step(cfg, optimizer, mesh)
+    return cfg, mesh, optimizer, make_state, step_fn
+
+
+def test_train_step_runs_and_updates(setup):
+    cfg, mesh, optimizer, make_state, step_fn = setup
+    state = make_state()
+    rng = np.random.RandomState(0)
+    batch = _make_batch(cfg, rng)
+    p0 = tree_norm(state.params)
+    k0 = tree_norm(state.key_params)
+    q0 = np.asarray(jax.device_get(state.queue.vectors))
+
+    state2, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+    metrics = jax.device_get(metrics)
+
+    for k, v in metrics.items():
+        assert np.isfinite(v), (k, v)
+    assert metrics["loss/nce_loss"] > 0
+    assert "loss/imagenet_loss_0" in metrics and "loss/imagenet_loss_1" in metrics
+    assert "loss/nce_loss_self" in metrics
+    assert 0.0 <= metrics["nce_accuracy"] <= 1.0
+
+    assert int(state2.step) == 1
+    assert int(state2.queue.tail) == 24  # 16 + 8 keys enqueued
+    assert float(tree_norm(state2.params)) != float(p0)
+    assert float(tree_norm(state2.key_params)) != float(k0)
+    q1 = np.asarray(jax.device_get(state2.queue.vectors))
+    assert not np.allclose(q0, q1)
+    # only the first 24 global rows changed
+    np.testing.assert_allclose(q0[24:], q1[24:], rtol=1e-6)
+    # inserted keys are L2-normalized encoder outputs
+    np.testing.assert_allclose(np.linalg.norm(q1[:24], axis=-1), 1.0, atol=1e-3)
+
+
+def test_multiple_steps_and_wraparound(setup):
+    cfg, mesh, optimizer, make_state, step_fn = setup
+    state = make_state()
+    rng = np.random.RandomState(1)
+    for i in range(6):
+        batch = _make_batch(cfg, rng)
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(2))
+    assert int(state.step) == 6
+    assert int(state.queue.total) == 144
+    assert bool(state.queue.total >= cfg.queue_size)  # full after wraparound
+    assert int(state.queue.tail) == 144 % 128
+    assert np.isfinite(jax.device_get(metrics["loss/total_loss"]))
+
+
+def test_embed_fn(setup):
+    cfg, mesh, optimizer, make_state, step_fn = setup
+    state = make_state()
+    images = jnp.zeros((16, 32, 32, 3), jnp.uint8)
+    embed = make_embed_fn(cfg, mesh)
+    emb, feats = embed(state, images)
+    assert emb.shape == (16, 16) and feats.shape == (16, 512)
+    embk = make_embed_fn(cfg, mesh, use_key_encoder=True)
+    emb2, _ = embk(state, images)
+    assert emb2.shape == (16, 16)
+
+
+def test_ema_momentum_math(setup):
+    """After one step, key = m*key_old + (1-m)*query_new leafwise."""
+    cfg, mesh, optimizer, make_state, step_fn = setup
+    state = make_state()
+    batch = _make_batch(cfg, np.random.RandomState(2))
+    key_old = jax.device_get(state.key_params)  # before donation
+    state2, _ = step_fn(state, batch, jax.random.PRNGKey(3))
+    from vince_tpu.models.vince_model import split_vince_params
+
+    tracked_new, _ = split_vince_params(jax.device_get(state2.params))
+    key_new = jax.device_get(state2.key_params)
+    leaf_old = np.asarray(key_old["backbone"]["conv1"]["kernel"])
+    leaf_qnew = np.asarray(tracked_new["backbone"]["conv1"]["kernel"])
+    leaf_knew = np.asarray(key_new["backbone"]["conv1"]["kernel"])
+    expected = cfg.momentum * leaf_old + (1 - cfg.momentum) * leaf_qnew
+    np.testing.assert_allclose(leaf_knew, expected, rtol=1e-5, atol=1e-7)

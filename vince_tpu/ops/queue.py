@@ -78,6 +78,48 @@ def enqueue(state: QueueState, items: jax.Array, source: Optional[jax.Array] = N
     )
 
 
+def enqueue_sharded(
+    state: QueueState,
+    items: jax.Array,
+    source: Optional[jax.Array] = None,
+    *,
+    shard_index: jax.Array = 0,
+    num_shards: int = 1,
+) -> QueueState:
+    """Sharded-bank enqueue for use inside shard_map: ``state.vectors`` is this
+    device's row shard [K/num_shards, D] of a global-K ring; ``tail``/``total``
+    are replicated global counters. Every device computes the same global
+    insert positions; rows landing outside its shard are dropped via the
+    out-of-bounds scatter mode (single fused scatter, no host logic).
+
+    ``num_shards=1`` reduces exactly to ``enqueue``.
+    """
+    shard_size = state.vectors.shape[0]
+    k_global = shard_size * num_shards
+    b = items.shape[0]
+    assert b <= k_global, f"enqueue batch {b} larger than queue {k_global}"
+    global_idx = (state.tail + jnp.arange(b, dtype=jnp.int32)) % k_global
+    local_pos = global_idx - jnp.asarray(shard_index, jnp.int32) * shard_size
+    # rows not owned by this shard → index shard_size (OOB) → dropped
+    local_pos = jnp.where(
+        (local_pos >= 0) & (local_pos < shard_size), local_pos, shard_size
+    )
+    vectors = state.vectors.at[local_pos].set(
+        items.astype(state.vectors.dtype), mode="drop"
+    )
+    if source is None:
+        source = jnp.zeros((b,), jnp.int32)
+    else:
+        source = jnp.broadcast_to(jnp.asarray(source, jnp.int32), (b,))
+    sources = state.sources.at[local_pos].set(source, mode="drop")
+    return state.replace(
+        vectors=vectors,
+        sources=sources,
+        tail=(state.tail + b) % k_global,
+        total=state.total + b,
+    )
+
+
 def dequeue(state: QueueState) -> Dict[str, jax.Array]:
     """The full bank, reference ``storage_queue.py:51-56`` (detach is implicit:
     callers use it under ``stop_gradient`` / outside grad tracing)."""

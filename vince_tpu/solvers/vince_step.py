@@ -1,0 +1,437 @@
+"""The VINCE pretraining step — one pure, jitted, mesh-parallel function.
+
+Functional re-architecture of the reference hot loop (``vince_solver.py:386-518``
+— SURVEY.md §3.1): everything the reference does across Python objects
+(VinceModel forward, VinceQueueModel no-grad forward with shuffled BN,
+per-source InfoNCE vs the StorageQueue snapshot, backward, SGD step, queue
+enqueue, EMA update) happens inside a single ``shard_map``-ped XLA program over
+a (data, queue) mesh:
+
+  batch uint8 → on-device fused augmentation → key fwd (cross-device
+  shuffled-BN) → query fwd → per-source multi-pair InfoNCE against the sharded
+  queue (streaming softmax over the queue axis) [+ self-batch NCE + supervised
+  ImageNet CE on detached features] → pmean/psum grads → SGD(momentum,wd) →
+  EMA → global-key enqueue → new state.
+
+Ordering parity: the loss uses the *pre-insert* queue snapshot; enqueue happens
+after the update; EMA after enqueue (``vince_solver.py:497-499``).
+
+Gradient correctness under queue sharding: the per-device loss is scaled by
+1/queue_axis_size and gradients are psum'd over the queue axis, so the
+psum-transpose of the streaming-softmax combine accumulates per-shard
+cotangents back to exactly one logical gradient (see ops/sharded_infonce.py).
+"""
+
+import dataclasses
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from vince_tpu.models.vince_model import (
+    VinceEncoder,
+    jigsaw_patchify,
+    merge_params,
+    random_jigsaw_perms,
+    split_vince_params,
+)
+from vince_tpu.ops.augment import augment_batch
+from vince_tpu.ops.ema import ema_update
+from vince_tpu.ops.queue import QueueState, enqueue_sharded, init_queue
+from vince_tpu.ops.sharded_infonce import sharded_multi_pair_infonce
+from vince_tpu.parallel.collectives import (
+    cross_device_shuffle,
+    cross_device_unshuffle,
+    gather_global_batch,
+    make_shuffle_perm,
+)
+from vince_tpu.parallel.mesh import DATA_AXIS, QUEUE_AXIS
+from vince_tpu.utils.transforms import make_config
+
+
+@dataclasses.dataclass(frozen=True)
+class SourceSpec:
+    """One data source in the multi-dataset batch (reference trains ImageNet +
+    R2V2 simultaneously, ``vince_solver.py:340-370``)."""
+
+    name: str  # "R2V2", "IN", ... (reference data_source tags)
+    batch_size: int  # GLOBAL rows for this source (= num_videos * num_frames)
+    num_frames: int = 1
+    transform: str = "StandardVideoTransform"
+    shared_transform: bool = False  # same aug for query & key (r2v2_dataset.py:81-83)
+    use_imagenet_ce: bool = False  # supervised decoders on this source
+    source_id: int = 0  # int tag stored in the queue
+
+
+@dataclasses.dataclass(frozen=True)
+class VinceConfig:
+    """Static configuration of the pretraining step (hashable)."""
+
+    sources: Tuple[SourceSpec, ...]
+    backbone: str = "ResNet18"
+    embed_size: int = 64  # --vince-embedding-size
+    image_size: int = 224
+    queue_size: int = 65536  # --vince-queue-size (GLOBAL)
+    temperature: float = 0.07  # --vince-temperature
+    self_temperature: float = 0.07  # --vince-self-temperature
+    momentum: float = 0.999  # --vince-momentum
+    inter_batch: bool = True  # --inter-batch-comparison
+    self_batch: bool = False  # --self-batch-comparison
+    use_attention: bool = False
+    jigsaw: bool = False
+    shuffle_bn: bool = True
+    compute_dtype: Any = jnp.float32  # bfloat16 on real TPU
+    data_axis_size: int = 1
+    queue_axis_size: int = 1
+
+    @property
+    def total_batch(self) -> int:
+        return sum(s.batch_size for s in self.sources)
+
+    def local_batch(self, s: SourceSpec) -> int:
+        assert s.batch_size % self.data_axis_size == 0, (s, self.data_axis_size)
+        b = s.batch_size // self.data_axis_size
+        assert b % s.num_frames == 0, "device shards must hold whole videos"
+        return b
+
+    @property
+    def queue_shard_size(self) -> int:
+        assert self.queue_size % self.queue_axis_size == 0
+        return self.queue_size // self.queue_axis_size
+
+
+@flax.struct.dataclass
+class VinceState:
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    key_params: Any  # EMA subset (reference vince_parameters())
+    key_batch_stats: Any
+    opt_state: Any
+    queue: QueueState
+
+
+def build_encoder(cfg: VinceConfig) -> VinceEncoder:
+    return VinceEncoder(
+        backbone_name=cfg.backbone,
+        embed_size=cfg.embed_size,
+        use_attention=cfg.use_attention,
+        jigsaw=cfg.jigsaw,
+        use_imagenet_decoders=any(s.use_imagenet_ce for s in cfg.sources),
+        dtype=cfg.compute_dtype,
+    )
+
+
+def init_vince_state(
+    rng: jax.Array, cfg: VinceConfig, optimizer: optax.GradientTransformation
+) -> VinceState:
+    """Single-process init; shard with ``shard_state`` before stepping."""
+    model = build_encoder(cfg)
+    p_rng, q_rng = jax.random.split(rng)
+    dummy = jnp.zeros((2, cfg.image_size, cfg.image_size, 3), cfg.compute_dtype)
+    variables = model.init({"params": p_rng}, dummy, method=VinceEncoder.full_init)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tracked, _ = split_vince_params(params)
+    queue = init_queue(q_rng, cfg.queue_size, cfg.embed_size)
+    return VinceState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        key_params=jax.tree_util.tree_map(jnp.copy, tracked),
+        key_batch_stats=jax.tree_util.tree_map(jnp.copy, batch_stats),
+        opt_state=optimizer.init(params),
+        queue=queue,
+    )
+
+
+def state_shardings(state: VinceState, mesh) -> VinceState:
+    """Pytree of NamedShardings: queue bank sharded over the queue axis
+    (HBM-resident sharded state, BASELINE.json north star), rest replicated."""
+    repl = NamedSharding(mesh, P())
+    specs = jax.tree_util.tree_map(lambda _: repl, state)
+    qspec = NamedSharding(mesh, P(QUEUE_AXIS))
+    return specs.replace(
+        queue=specs.queue.replace(vectors=qspec, sources=qspec)
+    )
+
+
+def shard_state(state: VinceState, mesh) -> VinceState:
+    return jax.device_put(state, state_shardings(state, mesh))
+
+
+def _state_pspecs(state: VinceState) -> VinceState:
+    specs = jax.tree_util.tree_map(lambda _: P(), state)
+    return specs.replace(
+        queue=specs.queue.replace(vectors=P(QUEUE_AXIS), sources=P(QUEUE_AXIS))
+    )
+
+
+def _source_masks(cfg: VinceConfig, src: SourceSpec, d_idx):
+    """Positive mask for this device's query rows vs the source's global keys
+    (block-diag multi-frame semantics, reference vince_model.py:50-77)."""
+    b_local = cfg.local_batch(src)
+    b_global = src.batch_size
+    local_global_idx = d_idx * b_local + jnp.arange(b_local)
+    q_groups = local_global_idx // src.num_frames
+    k_groups = jnp.arange(b_global) // src.num_frames
+    return q_groups[:, None] == k_groups[None, :]
+
+
+def _augment_sources(cfg: VinceConfig, batch, rng, d_idx, train=True):
+    """Fused per-source augmentation of query+key frames on device."""
+    q_imgs, k_imgs = [], []
+    for si, src in enumerate(cfg.sources):
+        tcfg = make_config(src.transform, cfg.image_size)
+        src_rng = jax.random.fold_in(rng, si)
+        base = jax.random.fold_in(src_rng, d_idx)
+        q_rng = jax.random.fold_in(base, 0)
+        k_rng = q_rng if src.shared_transform else jax.random.fold_in(base, 1)
+        q_imgs.append(
+            augment_batch(q_rng, batch[si]["data"], tcfg, train=train, dtype=cfg.compute_dtype)
+        )
+        k_imgs.append(
+            augment_batch(k_rng, batch[si]["queue_data"], tcfg, train=train, dtype=cfg.compute_dtype)
+        )
+    return jnp.concatenate(q_imgs, 0), jnp.concatenate(k_imgs, 0)
+
+
+def _split_sources(cfg: VinceConfig, x, local=True):
+    out, off = [], 0
+    for src in cfg.sources:
+        b = cfg.local_batch(src) if local else src.batch_size
+        out.append(x[off : off + b])
+        off += b
+    return out
+
+
+def make_train_step(
+    cfg: VinceConfig,
+    optimizer: optax.GradientTransformation,
+    mesh,
+    jigsaw_side: Optional[str] = None,  # None | "query" | "key"
+):
+    """Build the jitted shard_map'ped train step: (state, batch, rng) →
+    (state', metrics). ``batch`` is a tuple of per-source dicts with uint8
+    ``data`` / ``queue_data`` [B_s, H, W, 3] (+ ``labels`` for CE sources),
+    sharded on the data axis."""
+    model = build_encoder(cfg)
+    d_size = cfg.data_axis_size
+    mq = cfg.queue_axis_size
+    queue_axis = QUEUE_AXIS if mq > 1 else None
+    embed_dim = cfg.embed_size
+
+    def encoder_apply(params, batch_stats, images, rng, jigsaw: bool, train=True):
+        variables = {"params": params, "batch_stats": batch_stats}
+        if jigsaw:
+            n = images.shape[0]
+            perms = random_jigsaw_perms(rng, n)
+            patches = jigsaw_patchify(images)
+            out, mut = model.apply(
+                variables, patches, train=train, jigsaw=True, jigsaw_perm=perms,
+                mutable=["batch_stats"],
+            )
+        else:
+            out, mut = model.apply(variables, images, train=train, mutable=["batch_stats"])
+        return out, mut["batch_stats"]
+
+    def step_local(state: VinceState, batch, rng):
+        d_idx = lax.axis_index(DATA_AXIS)
+        step_rng = jax.random.fold_in(rng, state.step)
+
+        # ---- 1. fused on-device augmentation --------------------------------
+        q_all, k_all = _augment_sources(cfg, batch, jax.random.fold_in(step_rng, 0), d_idx)
+        b_local_total = q_all.shape[0]
+
+        # ---- 2. key (momentum) forward, no grad, cross-device shuffled BN ---
+        # (reference vince_model.py:597-613 + :137-142 shuffle; SURVEY §5.8)
+        perm = make_shuffle_perm(jax.random.fold_in(step_rng, 1), b_local_total * d_size)
+        k_in = cross_device_shuffle(k_all, perm) if cfg.shuffle_bn else k_all
+        k_out, key_batch_stats = encoder_apply(
+            state.key_params,
+            state.key_batch_stats,
+            k_in,
+            jax.random.fold_in(step_rng, 2),
+            jigsaw=(jigsaw_side == "key"),
+        )
+        k_emb_local = lax.stop_gradient(k_out["embeddings"].astype(jnp.float32))
+        if cfg.shuffle_bn:
+            k_global = cross_device_unshuffle(k_emb_local, perm)  # [Bg_tot, D]
+        else:
+            k_global = gather_global_batch(k_emb_local)
+        # per-source global key blocks: gathered layout is [d, b_local_tot, D];
+        # k_sources[s][d*b_s + i] is device d's i-th local row of source s,
+        # matching the _source_masks global index convention.
+        kg = k_global.reshape(d_size, b_local_total, embed_dim)
+        k_sources = [
+            kg[:, off:end].reshape(-1, embed_dim)
+            for off, end in _source_offsets(cfg)
+        ]
+
+        queue_snapshot = lax.stop_gradient(state.queue.vectors.astype(jnp.float32))
+
+        # ---- 3. query forward + per-source losses ---------------------------
+        def loss_fn(params):
+            out, batch_stats = encoder_apply(
+                params,
+                state.batch_stats,
+                q_all,
+                jax.random.fold_in(step_rng, 3),
+                jigsaw=(jigsaw_side == "query"),
+            )
+            q_emb = out["embeddings"].astype(jnp.float32)
+            q_sources = _split_sources(cfg, q_emb)
+            feat_sources = _split_sources(cfg, out["extracted_features"])
+
+            loss_terms: Dict[str, list] = {}
+            metrics: Dict[str, jax.Array] = {}
+
+            def add(key, val):
+                loss_terms.setdefault(key, []).append(val)
+
+            for si, src in enumerate(cfg.sources):
+                mask = _source_masks(cfg, src, d_idx)
+                res = sharded_multi_pair_infonce(
+                    q_sources[si], k_sources[si], mask, cfg.temperature,
+                    queue_shard=queue_snapshot, queue_axis=queue_axis,
+                )
+                add("nce_loss", res["dist"])
+                for mk in ("nce_accuracy", "softmax_weight", "cosine_sim", "cosine_sim_neg_max"):
+                    metrics.setdefault(mk, []).append(res[mk])
+
+                if cfg.self_batch:
+                    # reference vince_model.py:213-222 — q·qᵀ over the global
+                    # batch with the same positive structure (diag included)
+                    q_self_global = gather_global_batch(q_sources[si]).reshape(-1, embed_dim)
+                    self_res = sharded_multi_pair_infonce(
+                        q_sources[si], q_self_global, mask, cfg.self_temperature,
+                    )
+                    add("nce_loss_self", self_res["dist"])
+                    metrics.setdefault("nce_accuracy_self", []).append(self_res["nce_accuracy"])
+
+                if src.use_imagenet_ce:
+                    # reference vince_model.py:201-202,244-248 — decoders on
+                    # detached features; CE per decoder (loss :282-288)
+                    feats = lax.stop_gradient(feat_sources[si])
+                    logits0, logits1 = model.apply(
+                        {"params": params}, feats, method=VinceEncoder.imagenet_logits
+                    )
+                    labels = batch[si]["labels"]
+                    for di, logits in enumerate((logits0, logits1)):
+                        ce = optax.softmax_cross_entropy_with_integer_labels(
+                            logits.astype(jnp.float32), labels
+                        ).mean()
+                        add(f"imagenet_loss_{di}", ce)
+                        acc = (jnp.argmax(logits, -1) == labels).astype(jnp.float32).mean()
+                        metrics.setdefault(f"imagenet_accuracy_{di}", []).append(acc)
+
+            # reference vince_solver.py:430-446 — stack per-source dicts, mean
+            # per key, total = sum of keys
+            loss_dict = {k: jnp.mean(jnp.stack(v)) for k, v in loss_terms.items()}
+            total = sum(loss_dict.values())
+            metrics_out = {k: jnp.mean(jnp.stack(v)) for k, v in metrics.items()}
+            metrics_out.update({f"loss/{k}": v for k, v in loss_dict.items()})
+            metrics_out["loss/total_loss"] = total
+            return total / mq, (metrics_out, batch_stats)
+
+        (_, (metrics, new_batch_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+
+        # ---- 4. gradient reduction + SGD step -------------------------------
+        grads = lax.pmean(grads, DATA_AXIS)
+        if mq > 1:
+            grads = lax.psum(grads, QUEUE_AXIS)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        # keep replicated BN stats consistent across the data axis (improvement
+        # over DataParallel's master-replica-only stats, SURVEY §5.8)
+        new_batch_stats = lax.pmean(new_batch_stats, DATA_AXIS)
+        key_batch_stats = lax.pmean(key_batch_stats, DATA_AXIS)
+
+        # ---- 5. EMA momentum update (after optimizer, vince_solver.py:499) --
+        tracked, _ = split_vince_params(params)
+        key_params = ema_update(state.key_params, tracked, cfg.momentum)
+
+        # ---- 6. enqueue global keys per source (vince_solver.py:497) --------
+        queue = state.queue
+        for si, src in enumerate(cfg.sources):
+            queue = enqueue_sharded(
+                queue, k_sources[si], src.source_id,
+                shard_index=lax.axis_index(QUEUE_AXIS), num_shards=mq,
+            )
+
+        metrics = lax.pmean(metrics, DATA_AXIS)
+        new_state = VinceState(
+            step=state.step + 1,
+            params=params,
+            batch_stats=new_batch_stats,
+            key_params=key_params,
+            key_batch_stats=key_batch_stats,
+            opt_state=opt_state,
+            queue=queue,
+        )
+        return new_state, metrics
+
+    def wrapped(state, batch, rng):
+        specs = _state_pspecs(state)
+        batch_specs = jax.tree_util.tree_map(lambda _: P(DATA_AXIS), batch)
+        fn = jax.shard_map(
+            step_local,
+            mesh=mesh,
+            in_specs=(specs, batch_specs, P()),
+            out_specs=(specs, P()),
+            check_vma=False,
+        )
+        return fn(state, batch, rng)
+
+    return jax.jit(wrapped, donate_argnums=(0,))
+
+
+def _source_offsets(cfg: VinceConfig):
+    offs, off = [], 0
+    for src in cfg.sources:
+        b = cfg.local_batch(src)
+        offs.append((off, off + b))
+        off += b
+    return offs
+
+
+def make_embed_fn(cfg: VinceConfig, mesh, use_key_encoder: bool = False):
+    """Jitted embedding extractor for validation / kNN probes: uint8 images
+    [B, H, W, 3] (data-sharded) → (embeddings, features), eval-mode BN."""
+    model = build_encoder(cfg)
+
+    def embed_local(params, batch_stats, images):
+        imgs = images.astype(jnp.float32) / 255.0
+        from vince_tpu.ops.augment import _finalize
+        from vince_tpu.ops.augment import AugmentConfig
+
+        imgs = _finalize(imgs, AugmentConfig()).astype(cfg.compute_dtype)
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats}, imgs, train=False
+        )
+        return out["embeddings"].astype(jnp.float32), out["extracted_features"].astype(jnp.float32)
+
+    def wrapped(state: VinceState, images):
+        if use_key_encoder:
+            _, rest = split_vince_params(state.params)
+            params = merge_params(state.key_params, rest)
+            batch_stats = state.key_batch_stats
+        else:
+            params, batch_stats = state.params, state.batch_stats
+        fn = jax.shard_map(
+            embed_local,
+            mesh=mesh,
+            in_specs=(P(), P(), P(DATA_AXIS)),
+            out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+            check_vma=False,
+        )
+        return fn(params, batch_stats, images)
+
+    return jax.jit(wrapped)
