@@ -1,0 +1,190 @@
+"""CLI argument parser — flag-name parity with reference ``arg_parser.py:38-199``.
+
+Same single-namespace design, same registry-by-name semantics (solver /
+dataset / backbone / transform resolved against ``__all__`` lists —
+``arg_parser.py:14-35``), same derived checkpoint/tensorboard paths embedding
+title/description/timestamp (``:211-221``) and cross-flag invariants
+(``:202-209``). The GPU-id remapping (``:223-232``) becomes logical mesh-shape
+selection: ``--mesh-data-size`` / ``--mesh-queue-size`` over the available TPU
+devices (SURVEY.md §5.6).
+"""
+
+import argparse
+import multiprocessing
+import os
+
+from vince_tpu import constants
+from vince_tpu.data import __all__ as dataset_names
+from vince_tpu.models.backbones import __all__ as backbone_names
+from vince_tpu.utils.transforms import __all__ as transform_names
+
+SOLVER_NAMES = [
+    "VinceSolver",
+    "EndTaskImagenetSolver",
+    "EndTaskSunSceneSolver",
+    "EndTaskTrackingSolver",
+    "EndTaskKinetics400Solver",
+]
+
+
+def _registry_type(names, kind):
+    def check(value):
+        if value not in names:
+            raise argparse.ArgumentTypeError(
+                f"Invalid {kind} {value}; choices: {names}"
+            )
+        return value
+
+    return check
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="Video Noise Contrastive Estimation training args (TPU-native)"
+    )
+    # Basic args (reference arg_parser.py:42-62)
+    parser.add_argument("--debug", action="store_true")
+    parser.add_argument("--title", type=str, required=True)
+    parser.add_argument("--description", type=str, required=True)
+    parser.add_argument("--num-frames", type=int, default=1)
+    parser.add_argument("--test-first", action="store_true")
+    parser.add_argument("--saved-variable-prefix", default="", type=str)
+    parser.add_argument("--new-variable-prefix", default="", type=str)
+
+    # Path args (:64-68)
+    parser.add_argument("--base-logdir", metavar="DIR", default="logs", type=str)
+    parser.add_argument("--tensorboard-dir", metavar="DIR", default="tensorboard")
+    parser.add_argument("--checkpoint-dir", metavar="DIR")
+    parser.add_argument("--long-save-checkpoint-dir", metavar="DIR")
+
+    # Dataset args (:70-73)
+    parser.add_argument("--data-path", metavar="DIR")
+    parser.add_argument("--dataset", type=_registry_type(dataset_names, "dataset"))
+    parser.add_argument(
+        "--transform",
+        default="StandardVideoTransform",
+        type=_registry_type(transform_names, "transform"),
+    )
+
+    # Architecture args (:75-89)
+    parser.add_argument("--solver", type=_registry_type(SOLVER_NAMES, "solver"))
+    parser.add_argument(
+        "--backbone", metavar="ARCH", type=_registry_type(backbone_names, "backbone"),
+        default="ResNet18",
+    )
+    parser.add_argument("--end-task-classifier-num-classes", default=0, type=int)
+    parser.add_argument("--use-attention", action="store_true")
+    parser.add_argument("--jigsaw", action="store_true")
+    parser.add_argument("--freeze-feature-extractor", action="store_true")
+
+    # Loss args (:91-101)
+    parser.add_argument("--self-batch-comparison", action="store_true")
+    parser.add_argument("--inter-batch-comparison", action="store_true")
+
+    # VINCE args (:103-117)
+    parser.add_argument("--vince-queue-size", default=256, type=int)
+    parser.add_argument("--vince-embedding-size", default=64, type=int)
+    parser.add_argument("--vince-momentum", type=float, default=0.999)
+    parser.add_argument("--vince-temperature", type=float, default=0.07)
+    parser.add_argument("--vince-self-temperature", type=float, default=0.03)
+    parser.add_argument("--no-multi-frame", dest="multi_frame", action="store_false")
+
+    # Training args (:119-179)
+    parser.add_argument("--epochs", default=200, type=int)
+    parser.add_argument("--lr-decay-type", default="cos", choices=["cos", "step"])
+    parser.add_argument("--lr-step-schedule", default=[120, 160], nargs="*", type=int)
+    parser.add_argument("-j", "--num-workers", default=min(multiprocessing.cpu_count(), 16), type=int)
+    parser.add_argument("-b", "--batch-size", default=256, type=int)
+    parser.add_argument("--use-videos", action="store_true")
+    parser.add_argument("-e", "--iterations-per-epoch", default=10000, type=int)
+    parser.add_argument("--base-lr", default=0.001, type=float)
+    parser.add_argument("--input-width", default=224, type=int)
+    parser.add_argument("--input-height", default=224, type=int)
+    parser.add_argument("--use-imagenet-weights", action="store_true")
+    parser.add_argument("--no-warmup", dest="use_warmup", action="store_false")
+    parser.add_argument("--log-frequency", default=10, type=int)
+    parser.add_argument("--image-log-frequency", default=1000, type=int)
+    parser.add_argument("--no-save", dest="save", action="store_false")
+    parser.add_argument("--no-restore", dest="restore", action="store_false")
+    parser.add_argument("--save-frequency", default=5000, type=int)
+    parser.add_argument("--long-save-frequency", default=25, type=int)
+    parser.add_argument("--disable-dataloader", action="store_true")
+
+    # ImageNet args (:181-185)
+    parser.add_argument("--use-imagenet", action="store_true")
+    parser.add_argument("--imagenet-data-path", type=str, default="")
+
+    # Video extraction args (:187-197)
+    parser.add_argument("--video-sample-rate", default=5, type=int)
+    parser.add_argument("--max-video-length", type=int, default=512)
+    parser.add_argument("--only-use-shots", action="store_true")
+    parser.add_argument("--max-side-size", default=480, type=int)
+
+    # --- TPU-native flags (replace --pytorch-gpu-ids / --feature-extractor-gpu-ids) ---
+    parser.add_argument(
+        "--mesh-data-size", type=int, default=0,
+        help="Data-parallel mesh axis size (0 = all devices).",
+    )
+    parser.add_argument(
+        "--mesh-queue-size", type=int, default=1,
+        help="Queue-sharding mesh axis size (negative-set scaling).",
+    )
+    parser.add_argument(
+        "--compute-dtype", default="float32", choices=["float32", "bfloat16"],
+        help="Encoder compute dtype (bfloat16 on real TPU).",
+    )
+    parser.add_argument("--no-shuffle-bn", dest="shuffle_bn", action="store_false")
+    parser.add_argument(
+        "--cifar-data-path", type=str,
+        default=os.path.join("datasets", "cifar_data", "cifar_{data_subset}.npz"),
+        help="NPZ path template for the CIFAR kNN probe (skipped if missing).",
+    )
+    parser.add_argument("--synthetic-num-videos", type=int, default=512)
+    parser.add_argument(
+        "--platform", default=None, choices=[None, "cpu", "tpu", "axon"],
+        help="Force a JAX platform (e.g. cpu with "
+        "XLA_FLAGS=--xla_force_host_platform_device_count=8 for mesh debug).",
+    )
+    return parser
+
+
+def finalize_args(args) -> argparse.Namespace:
+    """Derived values + invariant checks (reference arg_parser.py:199-239)."""
+    args.input_size = (args.input_height, args.input_width)
+
+    # invariant asserts, reference :202-209 (note: the reference's first assert
+    # message has the polarity of its condition flipped; we keep the condition)
+    assert (not args.inter_batch_comparison) or (
+        args.num_frames % 2 == 0 or args.num_frames == 1
+    ), "inter-batch comparison needs an even number of frames (or 1)"
+    assert (
+        not args.self_batch_comparison
+    ) or args.inter_batch_comparison, "self-batch-comparison requires inter-batch-comparison"
+    assert args.multi_frame or args.num_frames == 1, "--no-multi-frame needs num_frames == 1"
+
+    args.tensorboard_dir = os.path.join(
+        args.base_logdir, args.title, args.tensorboard_dir,
+        constants.TIME_STR + "_" + args.description,
+    )
+    if args.checkpoint_dir is None:
+        args.checkpoint_dir = os.path.join(
+            args.base_logdir, args.title, "checkpoints_" + args.description
+        )
+    if args.long_save_checkpoint_dir is None:
+        args.long_save_checkpoint_dir = os.path.join(
+            args.base_logdir, args.title, "long_checkpoints",
+            constants.TIME_STR + "_" + args.description,
+        )
+
+    args.saved_variable_prefix = args.saved_variable_prefix.split(",")
+    args.new_variable_prefix = args.new_variable_prefix.split(",")
+    return args
+
+
+def parse_args(argv=None):
+    args = build_parser().parse_args(argv)
+    args = finalize_args(args)
+    print("args")
+    print("\n".join(f"{k}: {v}" for k, v in sorted(vars(args).items())))
+    print("-" * 80)
+    return args

@@ -1,0 +1,156 @@
+"""Host input pipeline: persistent thread-pool loader with device prefetch.
+
+Replaces the reference's ``PersistentDataLoader`` + prefetch-thread machinery
+(SURVEY.md §2.9 and ``vince_solver.py:48-49,340-374``): a worker pool that can
+be created *before* the dataset (``set_dataset`` later), ``never_ending``
+iterators that never raise StopIteration, a bounded prefetch queue (depth 2,
+matching the reference's Queue(2)), and None-item tolerance (failed reads are
+resampled — the reference's collate drops Nones).
+
+TPU-first: workers only decode/resize uint8 canvases (cheap); batches are
+assembled as stacked numpy and (optionally) ``jax.device_put`` with the target
+sharding so the next step's H2D copy overlaps compute — augmentation itself is
+on-device. Threads (not processes) suffice because cv2 JPEG decode releases
+the GIL.
+"""
+
+import queue
+import threading
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+def collate_video_batch(items: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    """Stack per-video dicts and flatten [V, F, ...] → [V*F, ...] for the
+    frame-major batch layout the train step expects (reference
+    BatchConcatDataset.collate_fn, base_dataset.py:64-102)."""
+    out: Dict[str, Any] = {}
+    keys = items[0].keys()
+    for k in keys:
+        vals = [it[k] for it in items]
+        if isinstance(vals[0], np.ndarray) and vals[0].ndim >= 3:
+            stacked = np.stack(vals)  # [V, F, H, W, 3]
+            out[k] = stacked.reshape((-1,) + stacked.shape[2:])
+        elif isinstance(vals[0], (np.integer, int, np.floating, float, np.ndarray)):
+            out[k] = np.stack([np.asarray(v) for v in vals]).reshape(-1)
+        else:
+            out[k] = list(vals)
+    return out
+
+
+class PersistentDataLoader:
+    """Thread-pool loader over an index-style dataset."""
+
+    def __init__(
+        self,
+        dataset=None,
+        batch_size: int = 1,  # number of dataset ITEMS per batch (videos)
+        num_workers: int = 8,
+        shuffle: bool = True,
+        never_ending: bool = True,
+        collate_fn: Callable = collate_video_batch,
+        prefetch: int = 2,
+        seed: int = 0,
+        device_put_fn: Optional[Callable] = None,
+    ):
+        self.batch_size = batch_size
+        self.num_workers = max(1, num_workers)
+        self.shuffle = shuffle
+        self.never_ending = never_ending
+        self.collate_fn = collate_fn
+        self.prefetch = prefetch
+        self.seed = seed
+        self.device_put_fn = device_put_fn
+        self.dataset = None
+        self._queue: Optional[queue.Queue] = None
+        self._threads: List[threading.Thread] = []
+        self._stop = threading.Event()
+        self._epoch_lock = threading.Lock()
+        self._order: List[int] = []
+        self._cursor = 0
+        self._epoch = 0
+        if dataset is not None:
+            self.set_dataset(dataset)
+
+    # -- PersistentDataLoader parity: pool before dataset, set_dataset later --
+    def set_dataset(self, dataset):
+        self.shutdown()
+        self.dataset = dataset
+        self._stop = threading.Event()
+        self._queue = queue.Queue(maxsize=self.prefetch)
+        self._rng = np.random.RandomState(self.seed)
+        self._reshuffle()
+        self._threads = [
+            threading.Thread(target=self._worker_loop, daemon=True)
+            for _ in range(self.num_workers)
+        ]
+        for t in self._threads:
+            t.start()
+
+    def _reshuffle(self):
+        n = len(self.dataset)
+        self._order = list(self._rng.permutation(n) if self.shuffle else range(n))
+        self._cursor = 0
+
+    def _next_indices(self) -> Optional[List[int]]:
+        with self._epoch_lock:
+            if self._cursor + self.batch_size > len(self._order):
+                if not self.never_ending:
+                    return None
+                self._epoch += 1
+                self._reshuffle()
+            idx = self._order[self._cursor : self._cursor + self.batch_size]
+            self._cursor += self.batch_size
+            return idx
+
+    def _worker_loop(self):
+        while not self._stop.is_set():
+            indices = self._next_indices()
+            if indices is None:
+                self._queue.put(None)
+                return
+            items = []
+            for i in indices:
+                item = self.dataset[i]
+                tries = 0
+                while item is None and tries < 10:  # resample failed reads
+                    item = self.dataset[int(self._rng.randint(len(self.dataset)))]
+                    tries += 1
+                if item is not None:
+                    items.append(item)
+            if not items:
+                continue
+            while len(items) < len(indices):  # keep shapes static
+                items.append(items[len(items) % max(len(items), 1)])
+            batch = self.collate_fn(items)
+            if self.device_put_fn is not None:
+                batch = self.device_put_fn(batch)
+            while not self._stop.is_set():
+                try:
+                    self._queue.put(batch, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+
+    def get_batch(self, timeout: Optional[float] = None):
+        return self._queue.get(timeout=timeout)
+
+    def __iter__(self):
+        finished = 0
+        while True:
+            batch = self.get_batch()
+            if batch is None:
+                finished += 1
+                if finished >= self.num_workers:
+                    return
+                continue
+            yield batch
+
+    def shutdown(self):
+        if self._threads:
+            self._stop.set()
+            for t in self._threads:
+                t.join(timeout=2.0)
+            self._threads = []
+        self._queue = None

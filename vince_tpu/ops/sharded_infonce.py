@@ -34,10 +34,17 @@ def sharded_multi_pair_infonce(
     temperature: float,
     queue_shard: Optional[jax.Array] = None,  # [Ks, D] this device's queue shard
     queue_axis: Optional[str] = None,  # mesh axis the queue is sharded over
+    batch_neg_mask: Optional[jax.Array] = None,  # [b, Bg] bool — batch entries
+    # counted as negatives; default = ~pos_mask (inter-batch comparison). The
+    # MoCo path (reference vince_model.py:227-233) passes all-False: batch
+    # keys are positives only, negatives come solely from the queue.
 ) -> Dict[str, jax.Array]:
     """Returns per-local-row loss/metric aggregates (caller pmeans over data)."""
     maskf = pos_mask.astype(jnp.float32)
-    inv_maskf = 1.0 - maskf
+    if batch_neg_mask is None:
+        inv_maskf = 1.0 - maskf
+    else:
+        inv_maskf = batch_neg_mask.astype(jnp.float32)
 
     sims_batch = jnp.dot(q_local, k_global.T, preferred_element_type=jnp.float32)
     logits_batch = sims_batch / temperature
@@ -82,7 +89,7 @@ def sharded_multi_pair_infonce(
 
     # ---- metrics on raw (un-scaled) similarities, vince_model.py:314-342 ----
     neg_batch_max_raw = jnp.max(
-        jnp.where(pos_mask, NEG_INF, sims_batch), axis=-1, keepdims=True
+        jnp.where(inv_maskf > 0, sims_batch, NEG_INF), axis=-1, keepdims=True
     )
     neg_max_raw = jnp.maximum(neg_batch_max_raw, s_queue_max_raw)
     correct = (sims_batch > neg_max_raw) & pos_mask

@@ -1,0 +1,75 @@
+"""Training entry point — parity with reference ``solver_runner.py``:
+build loggers (skipped under ``--debug``), instantiate the solver by registry
+name, optional ``--test-first`` val, epoch loop (LR warmup lives inside the
+jitted schedule), crash-save in ``finally`` (``solver_runner.py:49-54``)."""
+
+import os
+import traceback
+
+from vince_tpu import arg_parser
+from vince_tpu.utils.logger import Logger
+
+
+def get_solver_class(name: str):
+    from vince_tpu.solvers.vince_solver import VinceSolver
+
+    registry = {"VinceSolver": VinceSolver}
+    try:
+        from vince_tpu.solvers.end_task_solvers import (
+            EndTaskImagenetSolver,
+            EndTaskKinetics400Solver,
+            EndTaskSunSceneSolver,
+            EndTaskTrackingSolver,
+        )
+
+        registry.update(
+            EndTaskImagenetSolver=EndTaskImagenetSolver,
+            EndTaskSunSceneSolver=EndTaskSunSceneSolver,
+            EndTaskTrackingSolver=EndTaskTrackingSolver,
+            EndTaskKinetics400Solver=EndTaskKinetics400Solver,
+        )
+    except ImportError:
+        pass
+    return registry[name]
+
+
+def main(argv=None):
+    args = arg_parser.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    train_logger = val_logger = None
+    if not args.debug:
+        train_logger = Logger(os.path.join(args.tensorboard_dir, "train"))
+        val_logger = Logger(os.path.join(args.tensorboard_dir, "val"))
+
+    solver = get_solver_class(args.solver or "VinceSolver")(args, train_logger, val_logger)
+
+    try:
+        if args.test_first:
+            print("Running initial Val")
+            solver.reset_epoch()
+            solver.run_val()
+
+        while solver.epoch < args.epochs:
+            solver.reset_epoch()
+            print("Running Train epoch", solver.epoch)
+            for _ in range(solver.iterations_per_epoch):
+                solver.run_train_iteration()
+            print("Running Val")
+            solver.run_val()
+            solver.epoch += 1
+    except Exception:
+        traceback.print_exc()
+    finally:
+        # crash-save parity (solver_runner.py:49-54) — save BEFORE shutdown
+        if args.save:
+            print("Saving models")
+            solver.save()
+        solver.end()
+
+
+if __name__ == "__main__":
+    main()

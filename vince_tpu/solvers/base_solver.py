@@ -1,0 +1,164 @@
+"""Abstract training engine.
+
+Contract parity with reference ``solvers/base_solver.py:20-167``: ctor runs
+``setup_dataloader → setup_other → setup_model → setup_optimizer`` (:41-44);
+epoch-level LR decay (cos/step, :107-129, realized as an optax schedule inside
+the jitted step — ``adjust_learning_rate`` only computes/logs the value);
+per-epoch meter reset + weight histograms (:131-153); ``run_n_train_iterations``
+driver (:158-161); crash-save handled by the runner.
+"""
+
+import abc
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+from vince_tpu.utils.logger import Logger
+from vince_tpu.utils.meters import RollingAverageMeter, Stopwatch
+from vince_tpu.utils.schedules import vince_lr_schedule
+
+
+class BaseSolver(abc.ABC):
+    def __init__(self, args, train_logger: Optional[Logger] = None, val_logger: Optional[Logger] = None):
+        self.args = args
+        self.input_size = args.input_size
+        self.logger_iteration = 0
+        self.train_logger = None if args.debug else train_logger
+        self.val_logger = None if args.debug else val_logger
+        self.time_meters: Dict[str, RollingAverageMeter] = {}
+        self.metric_meters: Dict[str, RollingAverageMeter] = {}
+        self.loss_meters: Dict[str, RollingAverageMeter] = {}
+        self.iteration = 0  # counts SAMPLES (reference: += batch_size per step)
+        self.epoch = 0
+        self.lr_schedule = vince_lr_schedule(
+            args.base_lr,
+            args.epochs,
+            args.iterations_per_epoch,
+            args.lr_decay_type,
+            args.lr_step_schedule,
+            use_warmup=getattr(args, "use_warmup", True),
+        )
+        self.freeze_feature_extractor = getattr(args, "freeze_feature_extractor", False)
+        self.setup_dataloader()
+        self.setup_other()
+        self.setup_model()
+        self.setup_optimizer()
+
+    # -- naming (reference base_solver.py:52-64) -----------------------------
+    @property
+    def model_name(self) -> str:
+        return "Model"
+
+    @property
+    def solver_name(self) -> str:
+        return type(self).__name__
+
+    @property
+    def full_name(self) -> str:
+        return self.solver_name + "_" + self.model_name
+
+    @property
+    def iterations_per_epoch(self) -> int:
+        return self.args.iterations_per_epoch
+
+    # -- setup contract ------------------------------------------------------
+    @abc.abstractmethod
+    def setup_dataloader(self): ...
+
+    def setup_other(self):
+        pass
+
+    @abc.abstractmethod
+    def setup_model(self): ...
+
+    @abc.abstractmethod
+    def setup_optimizer(self): ...
+
+    def end(self):
+        pass
+
+    # -- LR ------------------------------------------------------------------
+    @property
+    def global_step(self) -> int:
+        return self.iteration // max(self.args.batch_size, 1)
+
+    def adjust_learning_rate(self) -> float:
+        """The schedule lives inside the jitted optimizer; this computes the
+        current value for logging (reference base_solver.py:107-129)."""
+        lr = float(np.asarray(self.lr_schedule(self.global_step)))
+        if self.train_logger is not None:
+            self.train_logger.scalar_summary(f"metrics/{self.full_name}/epoch", self.epoch, self.iteration)
+            self.train_logger.scalar_summary(f"metrics/{self.full_name}/lr", lr, self.iteration)
+        print("Epoch", self.epoch, "Learning rate", lr)
+        return lr
+
+    # -- epoch bookkeeping (reference base_solver.py:131-153) ----------------
+    def loss_keys(self):
+        return []
+
+    def metric_keys(self):
+        return []
+
+    def reset_epoch(self):
+        self.logger_iteration = 0
+        for key in ("total_time", "data_cache_time", "forward_time", "metrics_time", "backward_time"):
+            self.time_meters[key] = RollingAverageMeter(self.args.log_frequency)
+        for key in self.metric_keys():
+            self.metric_meters[key] = RollingAverageMeter(self.args.log_frequency)
+        keys = list(self.loss_keys())
+        for key in keys:
+            self.loss_meters[key] = RollingAverageMeter(self.args.log_frequency)
+        if len(keys) > 1:
+            self.loss_meters["total_loss"] = RollingAverageMeter(self.args.log_frequency)
+        self.adjust_learning_rate()
+        if self.train_logger is not None and hasattr(self, "state"):
+            self.train_logger.network_weight_summary(
+                getattr(self.state, "params", {}), self.iteration,
+                prefix=f"weights/{self.full_name}",
+            )
+
+    @abc.abstractmethod
+    def run_train_iteration(self): ...
+
+    def run_n_train_iterations(self, num_iterations: int):
+        self.reset_epoch()
+        for _ in range(num_iterations):
+            self.run_train_iteration()
+
+    @abc.abstractmethod
+    def run_val(self): ...
+
+    def run_eval(self):
+        raise NotImplementedError
+
+    def save(self, num_to_keep: int = -1):
+        raise NotImplementedError
+
+    def log_step_metrics(self, metrics: Dict[str, float]):
+        """Update meters + periodic tensorboard scalars (the reference's
+        per-iteration logging block, vince_solver.py:500-512)."""
+        updated_losses, updated_metrics = set(), set()
+        total = 0.0
+        for key, val in metrics.items():
+            val = float(np.asarray(val))
+            if key.startswith("loss/"):
+                name = key[len("loss/"):]
+                if name != "total_loss":
+                    total += val
+                self.loss_meters.setdefault(name, RollingAverageMeter(self.args.log_frequency)).update(val)
+                updated_losses.add(name)
+            else:
+                self.metric_meters.setdefault(key, RollingAverageMeter(self.args.log_frequency)).update(val)
+                updated_metrics.add(key)
+        if "total_loss" in self.loss_meters and "total_loss" not in updated_losses:
+            self.loss_meters["total_loss"].update(total)
+            updated_losses.add("total_loss")
+        if not np.isfinite(total):
+            raise FloatingPointError(f"non-finite loss at iteration {self.iteration}: {metrics}")
+
+        if self.logger_iteration % self.args.log_frequency == 0 and self.train_logger is not None:
+            log = {f"times/{self.full_name}/{k}": m.value for k, m in self.time_meters.items()}
+            log.update({f"losses/{self.full_name}/{k}": self.loss_meters[k].value for k in updated_losses})
+            log.update({f"metrics/{self.full_name}/{k}": self.metric_meters[k].value for k in updated_metrics})
+            self.train_logger.dict_log(log, self.iteration)

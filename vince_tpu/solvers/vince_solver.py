@@ -1,0 +1,361 @@
+"""VINCE pretraining solver — the training engine around the jitted step.
+
+Parity with reference ``solvers/vince_solver.py`` (SURVEY.md §2.3): multi-
+dataset training (ImageNet + video simultaneously — one batch per source per
+iteration, concatenated; ``:340-370``), persistent prefetching loaders
+(``:48-49,372-374``), queue prefill with a repeated batch (``fill_queue_repeat``
+``:315-333``), train iteration = both encoder forwards → per-source InfoNCE vs
+the queue snapshot → update → enqueue → EMA (``:386-518`` — all inside the
+jitted step), validation = val-loader losses (wall-clock capped, ``:549-551``)
+plus the CIFAR kNN probe (KDTree, k=11 mode vote, ``:651-693``), resume epoch
+derived from the restored iteration (``:287-289``).
+"""
+
+import os
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from vince_tpu.data import get_dataset
+from vince_tpu.data.loader import PersistentDataLoader
+from vince_tpu.data.npz_dataset import NPZDataset
+from vince_tpu.ops.queue import HostImageRing
+from vince_tpu.parallel.mesh import DATA_AXIS, MeshSpec, make_mesh
+from vince_tpu.solvers.base_solver import BaseSolver
+from vince_tpu.solvers.vince_step import (
+    SourceSpec,
+    VinceConfig,
+    init_vince_state,
+    make_embed_fn,
+    make_eval_step,
+    make_train_step,
+    shard_state,
+)
+from vince_tpu.utils.checkpoint import CheckpointManager
+from vince_tpu.utils.meters import AverageMeter, Stopwatch
+
+
+class VinceSolver(BaseSolver):
+    def __init__(self, args, train_logger=None, val_logger=None):
+        self.train_loaders: List[Tuple[str, PersistentDataLoader]] = []
+        self.val_loaders: List[Tuple[str, PersistentDataLoader]] = []
+        self.cifar_dataset: Optional[NPZDataset] = None
+        self.image_ring: Optional[HostImageRing] = None
+        self._step_rng = jax.random.PRNGKey(getattr(args, "seed", 0))
+        super().__init__(args, train_logger, val_logger)
+
+    @property
+    def model_name(self):
+        return "VinceModel"
+
+    # ------------------------------------------------------------------ data
+    def _make_dataset(self, name: str, subset: str):
+        cls = get_dataset(name)
+        kwargs = {}
+        if name in ("R2V2Dataset", "GOT10KR2V2Dataset"):
+            kwargs["num_images_to_return"] = self.args.num_frames
+        if name == "SyntheticVideoDataset":
+            kwargs["num_videos"] = getattr(self.args, "synthetic_num_videos", 512)
+            kwargs["num_images_to_return"] = self.args.num_frames
+        return cls(self.args, subset, **kwargs)
+
+    def setup_dataloader(self):
+        args = self.args
+        self.sources: List[SourceSpec] = []
+        if args.disable_dataloader:
+            return
+        nf = max(args.num_frames, 1)
+
+        def add_source(spec: SourceSpec, dataset_name: str):
+            self.sources.append(spec)
+            items_per_batch = spec.batch_size // spec.num_frames
+            train_loader = PersistentDataLoader(
+                batch_size=items_per_batch,
+                num_workers=min(args.num_workers, 16),
+                never_ending=True,
+            )
+            train_loader.set_dataset(self._make_dataset(dataset_name, "train"))
+            val_loader = PersistentDataLoader(
+                batch_size=items_per_batch,
+                num_workers=min(args.num_workers, 8),
+                never_ending=True,
+            )
+            val_loader.set_dataset(self._make_dataset(dataset_name, "val"))
+            self.train_loaders.append((spec.name, train_loader))
+            self.val_loaders.append((spec.name, val_loader))
+
+        if args.use_imagenet:
+            # reference vince_solver.py:66-141 — ImageNet source (CE decoders)
+            name = "SyntheticImageDataset" if not args.imagenet_data_path else "ImagenetDataset"
+            add_source(
+                SourceSpec(
+                    "IN", batch_size=args.batch_size, num_frames=nf,
+                    transform=args.transform, use_imagenet_ce=True, source_id=0,
+                ),
+                name,
+            )
+        if args.use_videos or (args.dataset and not args.use_imagenet):
+            dataset_name = args.dataset or "R2V2Dataset"
+            add_source(
+                SourceSpec(
+                    "YT", batch_size=args.batch_size, num_frames=nf,
+                    transform=args.transform, source_id=1,
+                ),
+                dataset_name,
+            )
+        assert self.sources, "no data sources configured (--use-imagenet / --use-videos / --dataset)"
+
+    def setup_other(self):
+        # CIFAR kNN probe data (reference vince_solver.py:236-250)
+        path = getattr(self.args, "cifar_data_path", "")
+        try:
+            self.cifar_dataset = NPZDataset(self.args, path, "train", 10000)
+            print(f"CIFAR probe loaded: {len(self.cifar_dataset)} images")
+        except (FileNotFoundError, OSError, KeyError, ValueError):
+            self.cifar_dataset = None
+            print("CIFAR probe data not found; kNN probe disabled")
+
+    # ----------------------------------------------------------------- model
+    def setup_model(self):
+        args = self.args
+        n_dev = len(jax.devices())
+        mq = max(getattr(args, "mesh_queue_size", 1), 1)
+        md = getattr(args, "mesh_data_size", 0) or (n_dev // mq)
+        self.mesh = make_mesh(MeshSpec(data_axis_size=md, queue_axis_size=mq))
+        dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+        self.cfg = VinceConfig(
+            sources=tuple(self.sources),
+            backbone=args.backbone,
+            embed_size=args.vince_embedding_size,
+            image_size=args.input_width,
+            queue_size=args.vince_queue_size,
+            temperature=args.vince_temperature,
+            self_temperature=args.vince_self_temperature,
+            momentum=args.vince_momentum,
+            inter_batch=args.inter_batch_comparison,
+            self_batch=args.self_batch_comparison,
+            use_attention=args.use_attention,
+            jigsaw=args.jigsaw,
+            shuffle_bn=getattr(args, "shuffle_bn", True),
+            compute_dtype=dtype,
+            data_axis_size=md,
+            queue_axis_size=mq,
+        )
+        self.optimizer = self._build_optimizer()
+        state = init_vince_state(jax.random.PRNGKey(getattr(args, "seed", 0)), self.cfg, self.optimizer)
+
+        self.ckpt = CheckpointManager(
+            args.checkpoint_dir,
+            args.long_save_checkpoint_dir,
+            max_to_keep=5,
+            long_save_frequency=args.long_save_frequency,
+        )
+        if args.restore:
+            restored = self.ckpt.restore(
+                state,
+                saved_variable_prefix=args.saved_variable_prefix,
+                new_variable_prefix=args.new_variable_prefix,
+            )
+            if restored is not None:
+                state = restored
+                self.iteration = int(np.asarray(state.step)) * args.batch_size
+                self.epoch = self.iteration // (args.iterations_per_epoch * args.batch_size)
+                print(f"Restored step {int(np.asarray(state.step))}; resuming epoch {self.epoch}")
+
+        self.state = shard_state(state, self.mesh)
+        self.train_step = make_train_step(self.cfg, self.optimizer, self.mesh)
+        if self.cfg.jigsaw:
+            self.train_step_jigsaw_q = make_train_step(self.cfg, self.optimizer, self.mesh, jigsaw_side="query")
+            self.train_step_jigsaw_k = make_train_step(self.cfg, self.optimizer, self.mesh, jigsaw_side="key")
+        self.eval_step = make_eval_step(self.cfg, self.mesh)
+        self.embed_fn = make_embed_fn(self.cfg, self.mesh)
+        self.key_embed_fn = make_embed_fn(self.cfg, self.mesh, use_key_encoder=True)
+        self._batch_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
+        self.image_ring = HostImageRing(min(self.cfg.queue_size, 4096))
+        self._np_rng = np.random.RandomState(1234)
+
+        if not self.args.disable_dataloader:
+            self.fill_queue_repeat()
+
+    def _build_optimizer(self):
+        # reference setup_optimizer: SGD(lr, wd=1e-4, momentum=0.9) :252-265
+        return optax.chain(
+            optax.add_decayed_weights(1e-4),
+            optax.sgd(self.lr_schedule, momentum=0.9),
+        )
+
+    def setup_optimizer(self):
+        pass  # built in setup_model (the jitted step closes over it)
+
+    # ----------------------------------------------------------------- batch
+    def _device_batch(self, host_batches: List[Dict[str, np.ndarray]]):
+        """Per-source host dicts → tuple of device dicts sharded on the data axis."""
+        out = []
+        for spec, hb in zip(self.sources, host_batches):
+            d = {
+                "data": hb["data"],
+                "queue_data": hb["queue_data"],
+            }
+            if spec.use_imagenet_ce:
+                d["labels"] = hb["imagenet_labels"].astype(np.int32)
+            out.append(
+                {k: jax.device_put(v, self._batch_sharding) for k, v in d.items()}
+            )
+        return tuple(out)
+
+    def get_batch(self):
+        host_batches = [loader.get_batch() for _, loader in self.train_loaders]
+        return self._device_batch(host_batches), host_batches
+
+    # ----------------------------------------------------------------- queue
+    def fill_queue_repeat(self):
+        """Prefill the bank by repeating one key batch (reference
+        vince_solver.py:315-333: tail reset to 0, full flag cleared)."""
+        device_batch, _ = self.get_batch()
+        keys = []
+        for spec, src_batch in zip(self.sources, device_batch):
+            emb, _ = self.key_embed_fn(self.state, src_batch["queue_data"])
+            keys.append(np.asarray(jax.device_get(emb)))
+        keys = np.concatenate(keys, axis=0)
+        k = self.cfg.queue_size
+        reps = int(np.ceil(k / len(keys)))
+        bank = np.tile(keys, (reps, 1))[:k]
+        queue = self.state.queue
+        new_queue = queue.replace(
+            vectors=jax.device_put(
+                jnp.asarray(bank, queue.vectors.dtype),
+                NamedSharding(self.mesh, P("queue")),
+            ),
+            tail=jnp.zeros((), jnp.int32),
+            total=jnp.zeros((), jnp.int32),
+        )
+        self.state = self.state.replace(queue=new_queue)
+        print("Queue filled with repeats")
+
+    # ----------------------------------------------------------------- train
+    def loss_keys(self):
+        keys = ["nce_loss"]
+        if self.cfg.self_batch:
+            keys.append("nce_loss_self")
+        if any(s.use_imagenet_ce for s in self.sources):
+            keys += ["imagenet_loss_0", "imagenet_loss_1"]
+        return keys
+
+    def metric_keys(self):
+        keys = ["nce_accuracy", "softmax_weight", "cosine_sim", "cosine_sim_neg_max"]
+        if self.cfg.self_batch:
+            keys.append("nce_accuracy_self")
+        if any(s.use_imagenet_ce for s in self.sources):
+            keys += ["imagenet_accuracy_0", "imagenet_accuracy_1"]
+        return keys
+
+    def run_train_iteration(self):
+        watch = Stopwatch().start()
+        device_batch, host_batches = self.get_batch()
+        self.time_meters["data_cache_time"].update(watch.lap())
+
+        if self.cfg.jigsaw:
+            # reference vince_solver.py:397-403 — 50/50 which side is jigsawed
+            step_fn = (
+                self.train_step_jigsaw_k
+                if self._np_rng.rand() < 0.5
+                else self.train_step_jigsaw_q
+            )
+        else:
+            step_fn = self.train_step
+        self.state, metrics = step_fn(self.state, device_batch, self._step_rng)
+        metrics = jax.device_get(metrics)
+        self.time_meters["forward_time"].update(watch.lap())
+
+        self.log_step_metrics(metrics)
+        self.time_meters["metrics_time"].update(watch.lap())
+
+        # host-side image ring for NN visualization panels
+        for spec, hb in zip(self.sources, host_batches):
+            if self.logger_iteration % 50 == 0:
+                thumbs = hb["queue_data"][:, ::4, ::4]
+                self.image_ring.enqueue(list(thumbs), spec.name)
+
+        if self.args.save and self.logger_iteration > 0 and (
+            self.logger_iteration % self.args.save_frequency == 0
+        ):
+            self.save(num_to_keep=5)
+
+        self.iteration += self.args.batch_size
+        self.logger_iteration += 1
+        self.time_meters["backward_time"].update(watch.lap())
+        self.time_meters["total_time"].update(
+            sum(m.values[-1] if m.values else 0.0 for m in (
+                self.time_meters["data_cache_time"],
+                self.time_meters["forward_time"],
+                self.time_meters["metrics_time"],
+            ))
+        )
+        return metrics
+
+    # ------------------------------------------------------------------- val
+    def run_val(self, max_seconds: float = 300.0, max_batches: int = 50):
+        """Val losses on each val loader (5-min cap, reference :549-551) +
+        CIFAR kNN probe (reference :651-693)."""
+        epoch_meters: Dict[str, AverageMeter] = {}
+        t_start = time.time()
+        n = 0
+        while time.time() - t_start < max_seconds and n < max_batches:
+            host_batches = [loader.get_batch() for _, loader in self.val_loaders]
+            device_batch = self._device_batch(host_batches)
+            metrics = jax.device_get(self.eval_step(self.state, device_batch, self._step_rng))
+            for k, v in metrics.items():
+                epoch_meters.setdefault(k, AverageMeter()).update(float(np.asarray(v)))
+            n += 1
+
+        results = {k: m.value for k, m in epoch_meters.items()}
+        knn_acc = self.run_cifar_knn()
+        if knn_acc is not None:
+            results["epoch_knn_cifar"] = knn_acc
+        if self.val_logger is not None:
+            self.val_logger.dict_log(
+                {f"epoch/{self.full_name}/{k}": v for k, v in results.items()},
+                self.iteration,
+            )
+        print("val:", {k: round(v, 4) for k, v in results.items()})
+        return results
+
+    def run_cifar_knn(self) -> Optional[float]:
+        """Embed the probe set, KDTree k=11 (drop self), mode vote —
+        reference vince_solver.py:676-684."""
+        if self.cifar_dataset is None:
+            return None
+        from sklearn.neighbors import KDTree
+        import scipy.stats
+
+        feats = []
+        for chunk, labels, valid in self.cifar_dataset.iter_batches(self.args.batch_size):
+            emb, _ = self.embed_fn(self.state, jnp.asarray(chunk))
+            feats.append(np.asarray(jax.device_get(emb))[:valid])
+        feats = np.concatenate(feats)[: len(self.cifar_dataset)]
+        labels = self.cifar_dataset.labels
+        kdt = KDTree(feats, leaf_size=40, metric="euclidean")
+        neighbors = kdt.query(feats, k=min(11, len(feats)))[1][:, 1:]
+        preds = scipy.stats.mode(labels[neighbors], axis=1).mode.reshape(-1)
+        acc = float(np.mean(preds == labels))
+        print(f"CIFAR kNN accuracy: {acc:.4f}")
+        return acc
+
+    # ------------------------------------------------------------------ save
+    def save(self, num_to_keep: int = 5):
+        if not self.args.save:
+            return
+        self.ckpt.save(self.global_step, jax.device_get(self.state))
+
+    def end(self):
+        if getattr(self, "_ended", False):
+            return
+        self._ended = True
+        for _, loader in self.train_loaders + self.val_loaders:
+            loader.shutdown()
+        self.ckpt.close()

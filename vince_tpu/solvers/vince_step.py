@@ -172,18 +172,36 @@ def _state_pspecs(state: VinceState) -> VinceState:
 
 
 def _source_masks(cfg: VinceConfig, src: SourceSpec, d_idx):
-    """Positive mask for this device's query rows vs the source's global keys
-    (block-diag multi-frame semantics, reference vince_model.py:50-77)."""
+    """Positive + batch-negative masks for this device's query rows vs the
+    source's global keys.
+
+    inter_batch=True  (reference vince_model.py:50-77): positives = keys from
+      the same video (block-diag by num_frames); every other batch key is a
+      negative (neg mask None → complement).
+    inter_batch=False (MoCo path, vince_model.py:227-233): positive = own key
+      only; batch keys are NOT negatives (all-False neg mask) — negatives come
+      solely from the queue.
+    """
     b_local = cfg.local_batch(src)
     b_global = src.batch_size
     local_global_idx = d_idx * b_local + jnp.arange(b_local)
-    q_groups = local_global_idx // src.num_frames
-    k_groups = jnp.arange(b_global) // src.num_frames
-    return q_groups[:, None] == k_groups[None, :]
+    if cfg.inter_batch:
+        q_groups = local_global_idx // src.num_frames
+        k_groups = jnp.arange(b_global) // src.num_frames
+        pos = q_groups[:, None] == k_groups[None, :]
+        return pos, None
+    pos = local_global_idx[:, None] == jnp.arange(b_global)[None, :]
+    return pos, jnp.zeros_like(pos)
 
 
-def _augment_sources(cfg: VinceConfig, batch, rng, d_idx, train=True):
-    """Fused per-source augmentation of query+key frames on device."""
+def _augment_sources(cfg: VinceConfig, batch, rng, d_idx, mode: str = "train"):
+    """Fused per-source augmentation of query+key frames on device.
+
+    mode="val" mirrors the reference's val loaders: queries take the val path
+    (resize/0.875 + center crop); keys of single-frame (image) sources stay
+    train-augmented (RepeatedImagenetTransform's "first view val, rest train",
+    reference transforms.py:189-197), video keys take the val path too.
+    """
     q_imgs, k_imgs = [], []
     for si, src in enumerate(cfg.sources):
         tcfg = make_config(src.transform, cfg.image_size)
@@ -191,11 +209,13 @@ def _augment_sources(cfg: VinceConfig, batch, rng, d_idx, train=True):
         base = jax.random.fold_in(src_rng, d_idx)
         q_rng = jax.random.fold_in(base, 0)
         k_rng = q_rng if src.shared_transform else jax.random.fold_in(base, 1)
+        q_train = mode == "train"
+        k_train = mode == "train" or src.num_frames == 1
         q_imgs.append(
-            augment_batch(q_rng, batch[si]["data"], tcfg, train=train, dtype=cfg.compute_dtype)
+            augment_batch(q_rng, batch[si]["data"], tcfg, train=q_train, dtype=cfg.compute_dtype)
         )
         k_imgs.append(
-            augment_batch(k_rng, batch[si]["queue_data"], tcfg, train=train, dtype=cfg.compute_dtype)
+            augment_batch(k_rng, batch[si]["queue_data"], tcfg, train=k_train, dtype=cfg.compute_dtype)
         )
     return jnp.concatenate(q_imgs, 0), jnp.concatenate(k_imgs, 0)
 
@@ -294,10 +314,11 @@ def make_train_step(
                 loss_terms.setdefault(key, []).append(val)
 
             for si, src in enumerate(cfg.sources):
-                mask = _source_masks(cfg, src, d_idx)
+                mask, neg_mask = _source_masks(cfg, src, d_idx)
                 res = sharded_multi_pair_infonce(
                     q_sources[si], k_sources[si], mask, cfg.temperature,
                     queue_shard=queue_snapshot, queue_axis=queue_axis,
+                    batch_neg_mask=neg_mask,
                 )
                 add("nce_loss", res["dist"])
                 for mk in ("nce_accuracy", "softmax_weight", "cosine_sim", "cosine_sim_neg_max"):
@@ -309,7 +330,7 @@ def make_train_step(
                     q_self_global = gather_global_batch(q_sources[si]).reshape(-1, embed_dim)
                     self_res = sharded_multi_pair_infonce(
                         q_sources[si], q_self_global, mask, cfg.self_temperature,
-                    )
+                    )  # self-batch requires inter_batch (arg_parser invariant)
                     add("nce_loss_self", self_res["dist"])
                     metrics.setdefault("nce_accuracy_self", []).append(self_res["nce_accuracy"])
 
@@ -400,6 +421,90 @@ def _source_offsets(cfg: VinceConfig):
         offs.append((off, off + b))
         off += b
     return offs
+
+
+def make_eval_step(cfg: VinceConfig, mesh):
+    """Validation step: same forward/loss path as training (incl. train-mode BN
+    — parity with reference run_val, which never switches the model to eval,
+    vince_solver.py:520-627) but no gradients, no state mutation. Returns the
+    metrics dict only."""
+    model = build_encoder(cfg)
+    d_size = cfg.data_axis_size
+    mq = cfg.queue_axis_size
+    queue_axis = QUEUE_AXIS if mq > 1 else None
+    embed_dim = cfg.embed_size
+
+    def eval_local(state: VinceState, batch, rng):
+        d_idx = lax.axis_index(DATA_AXIS)
+        step_rng = jax.random.fold_in(rng, state.step)
+        q_all, k_all = _augment_sources(
+            cfg, batch, jax.random.fold_in(step_rng, 0), d_idx, mode="val"
+        )
+        b_local_total = q_all.shape[0]
+
+        perm = make_shuffle_perm(jax.random.fold_in(step_rng, 1), b_local_total * d_size)
+        k_in = cross_device_shuffle(k_all, perm) if cfg.shuffle_bn else k_all
+        key_vars = {"params": state.key_params, "batch_stats": state.key_batch_stats}
+        k_out, _ = model.apply(key_vars, k_in, train=True, mutable=["batch_stats"])
+        k_emb_local = k_out["embeddings"].astype(jnp.float32)
+        if cfg.shuffle_bn:
+            k_global = cross_device_unshuffle(k_emb_local, perm)
+        else:
+            k_global = gather_global_batch(k_emb_local)
+        kg = k_global.reshape(d_size, b_local_total, embed_dim)
+        k_sources = [
+            kg[:, off:end].reshape(-1, embed_dim) for off, end in _source_offsets(cfg)
+        ]
+
+        out, _ = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            q_all, train=True, mutable=["batch_stats"],
+        )
+        q_emb = out["embeddings"].astype(jnp.float32)
+        q_sources = _split_sources(cfg, q_emb)
+        feat_sources = _split_sources(cfg, out["extracted_features"])
+
+        metrics: Dict[str, list] = {}
+        queue_snapshot = state.queue.vectors.astype(jnp.float32)
+        for si, src in enumerate(cfg.sources):
+            mask, neg_mask = _source_masks(cfg, src, d_idx)
+            res = sharded_multi_pair_infonce(
+                q_sources[si], k_sources[si], mask, cfg.temperature,
+                queue_shard=queue_snapshot, queue_axis=queue_axis,
+                batch_neg_mask=neg_mask,
+            )
+            metrics.setdefault("loss/nce_loss", []).append(res["dist"])
+            for mk in ("nce_accuracy", "softmax_weight", "cosine_sim", "cosine_sim_neg_max"):
+                metrics.setdefault(mk, []).append(res[mk])
+            if src.use_imagenet_ce:
+                logits0, logits1 = model.apply(
+                    {"params": state.params}, feat_sources[si],
+                    method=VinceEncoder.imagenet_logits,
+                )
+                labels = batch[si]["labels"]
+                for di, logits in enumerate((logits0, logits1)):
+                    ce = optax.softmax_cross_entropy_with_integer_labels(
+                        logits.astype(jnp.float32), labels
+                    ).mean()
+                    metrics.setdefault(f"loss/imagenet_loss_{di}", []).append(ce)
+                    acc = (jnp.argmax(logits, -1) == labels).astype(jnp.float32).mean()
+                    metrics.setdefault(f"imagenet_accuracy_{di}", []).append(acc)
+        out_metrics = {k: jnp.mean(jnp.stack(v)) for k, v in metrics.items()}
+        return lax.pmean(out_metrics, DATA_AXIS)
+
+    def wrapped(state, batch, rng):
+        specs = _state_pspecs(state)
+        batch_specs = jax.tree_util.tree_map(lambda _: P(DATA_AXIS), batch)
+        fn = jax.shard_map(
+            eval_local,
+            mesh=mesh,
+            in_specs=(specs, batch_specs, P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+        return fn(state, batch, rng)
+
+    return jax.jit(wrapped)
 
 
 def make_embed_fn(cfg: VinceConfig, mesh, use_key_encoder: bool = False):
