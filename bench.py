@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Headline benchmark: VINCE ResNet50 pretrain step throughput (frames/sec/chip).
+
+Measures the full jitted training step on the real TPU — on-device fused
+augmentation + query fwd/bwd + momentum-encoder fwd + multi-pair InfoNCE
+against the 65,536-entry queue + SGD + EMA + enqueue (the reference hot loop,
+``vince_solver.py:386-518``, BASELINE.json north star).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no throughput numbers (SURVEY.md §6). We
+normalize against a documented estimate of the reference stack's per-GPU rate:
+MoCo-style ResNet50 training at ~167 frames/sec per 2020-era datacenter GPU
+(8-GPU host, MoCo's published 53h/200ep on ImageNet-1.28M ⇒ ~1340 img/s ÷ 8).
+The reference's single-process DataParallel would be at or below this.
+
+Env overrides: BENCH_BATCH (default 128), BENCH_STEPS (default 10),
+BENCH_BACKBONE (ResNet50), BENCH_IMAGE (224), BENCH_QUEUE (65536).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_BASELINE_FPS_PER_CHIP = 167.0
+
+
+def run_bench(batch: int, steps: int, backbone: str, image: int, queue_size: int):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from vince_tpu.parallel.mesh import MeshSpec, make_mesh
+    from vince_tpu.solvers.vince_step import (
+        SourceSpec,
+        VinceConfig,
+        init_vince_state,
+        make_train_step,
+        shard_state,
+    )
+
+    n_dev = 1  # bench contract: one real chip
+    cfg = VinceConfig(
+        sources=(
+            SourceSpec("YT", batch_size=batch, num_frames=4,
+                       transform="StandardVideoTransform", source_id=1),
+        ),
+        backbone=backbone,
+        embed_size=128,  # R50 "large" config (train_vince_large.sh)
+        image_size=image,
+        queue_size=queue_size,
+        temperature=0.07,
+        momentum=0.999,
+        compute_dtype=jnp.bfloat16,
+        data_axis_size=n_dev,
+        queue_axis_size=1,
+        shuffle_bn=True,
+    )
+    mesh = make_mesh(MeshSpec(data_axis_size=n_dev, queue_axis_size=1))
+    optimizer = optax.chain(optax.add_decayed_weights(1e-4), optax.sgd(0.03, momentum=0.9))
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        state = init_vince_state(jax.random.PRNGKey(0), cfg, optimizer)
+    state = shard_state(state, mesh)
+    step_fn = make_train_step(cfg, optimizer, mesh)
+
+    canvas = int(image / 0.875)
+    rng = np.random.RandomState(0)
+    host = rng.randint(0, 256, (batch, canvas, canvas, 3), np.uint8)
+    batch_dev = (
+        {
+            "data": jax.device_put(host, jax.devices()[0]),
+            "queue_data": jax.device_put(host[::-1].copy(), jax.devices()[0]),
+        },
+    )
+    key = jax.random.PRNGKey(1)
+
+    def fetch_loss(metrics):
+        # NOTE: on the axon remote platform block_until_ready does not reliably
+        # wait for chained executions; fetching a VALUE does (validated against
+        # chained 4096³ matmuls hitting 184 TFLOPs bf16 ≈ 93% of v5e peak).
+        return float(np.asarray(jax.device_get(metrics["loss/total_loss"])))
+
+    # warmup / compile (2 calls: trace+compile, then steady-state graph)
+    t0 = time.time()
+    state, metrics = step_fn(state, batch_dev, key)
+    loss = fetch_loss(metrics)
+    compile_s = time.time() - t0
+    state, metrics = step_fn(state, batch_dev, key)
+    fetch_loss(metrics)
+
+    # round-trip baseline: re-fetch an already-computed value
+    t0 = time.time()
+    for _ in range(3):
+        fetch_loss(metrics)
+    rt = (time.time() - t0) / 3
+
+    t0 = time.time()
+    for _ in range(steps):
+        state, metrics = step_fn(state, batch_dev, key)
+    loss = fetch_loss(metrics)  # forces the whole chain
+    dt = max(time.time() - t0 - rt, 1e-9)
+
+    fps = batch * steps / dt
+    # sanity vs physics: frames/s must be below the chip's bf16 peak budget
+    flops_per_frame = {"ResNet18": 4 * 3.6e9, "ResNet50": 4 * 8.2e9}.get(backbone, 4 * 8.2e9)
+    peak_fps = 197e12 / flops_per_frame
+    assert fps < peak_fps, f"non-physical timing: {fps:.0f} fps > peak {peak_fps:.0f}"
+    assert np.isfinite(loss), "non-finite loss in bench step"
+    mxu = fps * flops_per_frame / 197e12
+    print(
+        f"# bench: {backbone} b={batch} img={image} q={queue_size} "
+        f"step={dt/steps*1000:.1f}ms compile={compile_s:.0f}s loss={loss:.3f} "
+        f"~mxu_util={mxu:.2f}",
+        file=sys.stderr,
+    )
+    return fps
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", 128))
+    steps = int(os.environ.get("BENCH_STEPS", 10))
+    backbone = os.environ.get("BENCH_BACKBONE", "ResNet50")
+    image = int(os.environ.get("BENCH_IMAGE", 224))
+    queue_size = int(os.environ.get("BENCH_QUEUE", 65536))
+
+    try:
+        fps = run_bench(batch, steps, backbone, image, queue_size)
+    except Exception as e:  # OOM fallback: halve the batch once
+        print(f"# bench failed at b={batch} ({type(e).__name__}); retrying b={batch//2}",
+              file=sys.stderr)
+        batch //= 2
+        fps = run_bench(batch, steps, backbone, image, queue_size)
+
+    print(json.dumps({
+        "metric": "vince_pretrain_frames_per_sec_per_chip_rn50",
+        "value": round(fps, 2),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps / REFERENCE_BASELINE_FPS_PER_CHIP, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

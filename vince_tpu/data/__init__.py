@@ -5,7 +5,11 @@ framework adds for offline testing/benchmarking."""
 from vince_tpu.data.imagenet_dataset import ImagenetDataset, SunSceneDataset
 from vince_tpu.data.npz_dataset import NPZDataset
 from vince_tpu.data.r2v2_dataset import GOT10KR2V2Dataset, R2V2Dataset
-from vince_tpu.data.synthetic_dataset import SyntheticImageDataset, SyntheticVideoDataset
+from vince_tpu.data.synthetic_dataset import (
+    SyntheticClipDataset,
+    SyntheticImageDataset,
+    SyntheticVideoDataset,
+)
 
 __all__ = [
     "GOT10kDataset",
@@ -18,6 +22,7 @@ __all__ = [
     "VideoCacherDataset",
     "SyntheticVideoDataset",
     "SyntheticImageDataset",
+    "SyntheticClipDataset",
 ]
 
 

@@ -29,9 +29,13 @@ def collate_video_batch(items: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.
     keys = items[0].keys()
     for k in keys:
         vals = [it[k] for it in items]
-        if isinstance(vals[0], np.ndarray) and vals[0].ndim >= 3:
-            stacked = np.stack(vals)  # [V, F, H, W, 3]
+        if isinstance(vals[0], np.ndarray) and vals[0].ndim >= 4:
+            # [F, H, W, C] per item → [V*F, H, W, C] frame-major batch
+            stacked = np.stack(vals)
             out[k] = stacked.reshape((-1,) + stacked.shape[2:])
+        elif isinstance(vals[0], np.ndarray) and vals[0].ndim >= 2:
+            # single image / label map per item → plain stack
+            out[k] = np.stack(vals)
         elif isinstance(vals[0], (np.integer, int, np.floating, float, np.ndarray)):
             out[k] = np.stack([np.asarray(v) for v in vals]).reshape(-1)
         else:

@@ -65,13 +65,49 @@ class SyntheticVideoDataset(BaseDataset):
         }
 
 
+class SyntheticClipDataset(BaseDataset):
+    """Kinetics-shaped labeled clips: [T] frames sharing a class-colored scene."""
+
+    def __init__(self, args, data_subset: str = "train", num_clips: int = 256,
+                 num_classes: int = 0, num_images_to_return: int = -1, seed: int = 0):
+        super().__init__(args, data_subset)
+        num_classes = num_classes or getattr(args, "end_task_classifier_num_classes", 0) or 4
+        self.num_clips = num_clips
+        self.num_classes = num_classes
+        self.num_frames = (
+            num_images_to_return if num_images_to_return > 0 else max(args.num_frames, 1)
+        )
+        self.seed = seed + (0 if data_subset == "train" else 10_000_000)
+        rng = np.random.RandomState(321)
+        self.class_colors = rng.randint(0, 256, (num_classes, 3), np.uint8)
+
+    def __len__(self):
+        return self.num_clips
+
+    def __getitem__(self, idx):
+        rng = np.random.RandomState(self.seed + idx)
+        label = int(idx % self.num_classes)
+        base = np.ones((self.canvas, self.canvas, 3), np.uint8) * self.class_colors[label]
+        frames = []
+        for _ in range(self.num_frames):
+            noise = rng.randint(-40, 41, base.shape).astype(np.int16)
+            frames.append(np.clip(base.astype(np.int16) + noise, 0, 255).astype(np.uint8))
+        return {
+            "data": np.stack(frames),
+            "labels": np.int32(label),
+            "classifier_labels": np.int32(label),
+            "ind": np.int64(idx),
+        }
+
+
 class SyntheticImageDataset(BaseDataset):
     """Labeled images where the label is recoverable from the dominant color —
     lets probe/classifier tests verify learning above chance."""
 
     def __init__(self, args, data_subset: str = "train", num_images: int = 512,
-                 num_classes: int = 10, seed: int = 0):
+                 num_classes: int = 0, seed: int = 0):
         super().__init__(args, data_subset)
+        num_classes = num_classes or getattr(args, "end_task_classifier_num_classes", 0) or 10
         self.num_images = num_images
         self.num_classes = num_classes
         self.seed = seed + (0 if data_subset == "train" else 10_000_000)
@@ -93,6 +129,16 @@ class SyntheticImageDataset(BaseDataset):
             "labels": np.int32(label),
             "imagenet_labels": np.int32(label),
             "classifier_labels": np.int32(label),
+            "ind": np.int64(idx),
+        }
+
+    def as_clip_item(self, idx, num_frames):
+        """Kinetics-shaped item: [T, C, C, 3] frames + class label."""
+        item = self[idx]
+        return {
+            "data": np.repeat(item["data"], num_frames, axis=0),
+            "labels": item["labels"],
+            "classifier_labels": item["labels"],
             "ind": np.int64(idx),
         }
 

@@ -274,19 +274,26 @@ def augment_batch(
     cfg: AugmentConfig,
     train: bool = True,
     dtype=jnp.float32,
+    group_size: int = 1,
 ) -> jax.Array:
     """Fused batched augmentation. images: [B, H, W, 3] uint8 (or unit float).
 
     Per-sample independent randomness via key splitting; pass the *same* rng to
     two calls to reproduce the reference's ``shared_transform`` re-seeding
-    (``r2v2_dataset.py:81-83``).
+    (``r2v2_dataset.py:81-83``). ``group_size=T`` shares one augmentation
+    across each run of T consecutive frames (the Kinetics clip semantics,
+    reference ``kinetics_400_dataset.py:73-92``).
     """
     if images.dtype == jnp.uint8:
         imgs = images.astype(jnp.float32) / 255.0
     else:
         imgs = images.astype(jnp.float32)
     if train:
-        keys = jax.random.split(rng, images.shape[0])
+        b = images.shape[0]
+        assert b % group_size == 0, (b, group_size)
+        keys = jax.random.split(rng, b // group_size)
+        if group_size > 1:
+            keys = jnp.repeat(keys, group_size, axis=0)
         out = jax.vmap(lambda k, im: _augment_one(k, im, cfg))(keys, imgs)
     else:
         out = val_resize_center_crop(imgs, cfg.size)

@@ -1,0 +1,312 @@
+"""End-task solvers: ImageNet / SUN-397 linear probes, Kinetics-400 LSTM,
+SiamFC tracking.
+
+Parity with reference ``solvers/end_task_base_solver.py`` +
+``end_task_classifier_solver.py`` + ``end_task_kinetics_400_solver.py`` +
+``end_task_tracking_solver.py`` (SURVEY.md §2.3): frozen-or-finetuned VINCE
+encoder restored from pretrain checkpoints, decoder networks per task,
+Adam(wd=1e-4) default / SGD-momentum for ImageNet, generic train iteration,
+full-val epoch, ``run_eval``. Tracking's ``run_eval`` runs the OTB benchmark
+through the TPU tracker (``vince_tpu.tracking.tracker``).
+"""
+
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from vince_tpu.data import get_dataset
+from vince_tpu.data.loader import PersistentDataLoader, collate_video_batch
+from vince_tpu.parallel.mesh import DATA_AXIS, MeshSpec, make_mesh
+from vince_tpu.solvers.base_solver import BaseSolver
+from vince_tpu.solvers.end_task_step import (
+    EndTaskConfig,
+    EndTaskState,
+    build_optimizer,
+    init_end_task_state,
+    make_end_task_train_step,
+)
+from vince_tpu.utils.checkpoint import CheckpointManager
+from vince_tpu.utils.meters import AverageMeter, Stopwatch
+
+
+class EndTaskBaseSolver(BaseSolver):
+    task = "classifier"
+    optimizer_kind = "adam"  # reference default Adam(wd=1e-4) :75-77
+    head_lr_scales = (1.0, 1.0)
+    default_dataset: Optional[str] = None
+    default_transform = "BasicImagenetTransform"
+    data_source = "IN"
+
+    def __init__(self, args, train_logger=None, val_logger=None):
+        self.train_loader: Optional[PersistentDataLoader] = None
+        self.val_loader: Optional[PersistentDataLoader] = None
+        self._step_rng = jax.random.PRNGKey(getattr(args, "seed", 0))
+        super().__init__(args, train_logger, val_logger)
+
+    @property
+    def model_name(self):
+        return type(self).__name__[: -len("Solver")] + "Model"
+
+    # ------------------------------------------------------------------ data
+    def _make_dataset(self, subset: str):
+        name = self.args.dataset or self.default_dataset
+        cls = get_dataset(name)
+        kwargs = {}
+        if name in ("Kinetics400Dataset",):
+            kwargs["num_images_to_return"] = self.args.num_frames
+        return cls(self.args, subset, **kwargs)
+
+    def setup_dataloader(self):
+        if self.args.disable_dataloader:
+            return
+        items = self.args.batch_size // max(self.args.num_frames, 1)
+        self.train_loader = PersistentDataLoader(
+            batch_size=items, num_workers=min(self.args.num_workers, 16), never_ending=True
+        )
+        self.train_loader.set_dataset(self._make_dataset("train"))
+        self.val_loader = PersistentDataLoader(
+            batch_size=items, num_workers=min(self.args.num_workers, 8), never_ending=True
+        )
+        self.val_loader.set_dataset(self._make_dataset("val"))
+
+    # ----------------------------------------------------------------- model
+    def _pretrain_checkpoint_dir(self) -> str:
+        # reference setup_feature_extractor (:112-129): pretrain checkpoints
+        # live under the same title/description as the VinceSolver run
+        return os.path.join(
+            self.args.base_logdir, self.args.title, "checkpoints_" + self.args.description
+        )
+
+    def _restore_encoder(self):
+        """Load encoder params/batch_stats from a VINCE pretrain checkpoint;
+        tolerate absence (random features) like --no-restore."""
+        if not self.args.restore:
+            return None, None
+        pdir = self._pretrain_checkpoint_dir()
+        raw = None
+        try:
+            mgr = CheckpointManager(pdir, None, max_to_keep=5)
+            step = mgr.latest_step()
+            if step is not None:
+                raw = mgr.manager.restore(step)
+            mgr.close()
+        except Exception as e:
+            print(f"pretrain restore failed ({type(e).__name__}: {e})")
+        if raw is None:
+            print(f"No pretrain checkpoint at {pdir}; using random encoder features")
+            return None, None
+        print(f"Restored pretrain encoder from {pdir}")
+        return raw["params"], raw.get("batch_stats", {})
+
+    def make_config(self) -> EndTaskConfig:
+        args = self.args
+        dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+        n_dev = len(jax.devices())
+        md = getattr(args, "mesh_data_size", 0) or n_dev
+        return EndTaskConfig(
+            task=self.task,
+            backbone=args.backbone,
+            embed_size=args.vince_embedding_size,
+            num_classes=args.end_task_classifier_num_classes or 1000,
+            num_frames=max(args.num_frames, 1),
+            image_size=args.input_width,
+            transform=args.transform or self.default_transform,
+            freeze_feature_extractor=args.freeze_feature_extractor,
+            use_attention=args.use_attention,
+            compute_dtype=dtype,
+            data_axis_size=md,
+            head_lr_scales=self.head_lr_scales,
+        )
+
+    def setup_model(self):
+        args = self.args
+        self.cfg = self.make_config()
+        self.mesh = make_mesh(MeshSpec(data_axis_size=self.cfg.data_axis_size, queue_axis_size=1))
+        self.optimizer = build_optimizer(self.cfg, args.base_lr, self.optimizer_kind)
+
+        enc_params, enc_stats = self._restore_encoder()
+        state = init_end_task_state(
+            jax.random.PRNGKey(getattr(args, "seed", 0)), self.cfg, self.optimizer,
+            encoder_params=enc_params, encoder_batch_stats=enc_stats,
+        )
+
+        # decoder checkpoints under <title>/<SolverModelName> (reference :136-147)
+        self.ckpt = CheckpointManager(
+            os.path.join(args.base_logdir, args.title, self.model_name,
+                         "checkpoints_" + args.description),
+            os.path.join(args.base_logdir, args.title, self.model_name, "long_checkpoints"),
+            max_to_keep=5,
+            long_save_frequency=args.long_save_frequency,
+        )
+        if args.restore:
+            restored = self.ckpt.restore(state)
+            if restored is not None:
+                state = restored
+                self.iteration = int(np.asarray(state.step)) * args.batch_size
+                print(f"Restored end-task step {int(np.asarray(state.step))}")
+
+        repl = NamedSharding(self.mesh, P())
+        self.state = jax.device_put(state, jax.tree_util.tree_map(lambda _: repl, state))
+        self.train_step = make_end_task_train_step(self.cfg, self.optimizer, self.mesh, train=True)
+        self.eval_step = make_end_task_train_step(self.cfg, self.optimizer, self.mesh, train=False)
+        self._batch_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
+
+    def setup_optimizer(self):
+        pass  # built in setup_model
+
+    # ----------------------------------------------------------------- batch
+    def convert_batch(self, host_batch: Dict[str, np.ndarray]) -> Dict:
+        """Host collated dict → device dict (per-task key mapping; reference
+        convert_batch overrides)."""
+        data = host_batch["data"]
+        labels = host_batch.get("classifier_labels", host_batch.get("labels"))
+        if self.task == "kinetics":
+            labels = labels.reshape(-1, self.cfg.num_frames)[:, 0]
+        batch = {"data": data, "labels": labels.astype(np.int32)}
+        return {k: jax.device_put(v, self._batch_sharding) for k, v in batch.items()}
+
+    def loss_keys(self):
+        if self.task == "classifier":
+            return ["classifier_loss_0", "classifier_loss_1"]
+        if self.task == "kinetics":
+            return ["classifier_loss_0"]
+        return ["siam_tracking_loss"]
+
+    def metric_keys(self):
+        if self.task == "classifier":
+            return ["classifier_accuracy_0", "classifier_accuracy_1"]
+        if self.task == "kinetics":
+            return ["classifier_accuracy_0"]
+        return ["dist", "center_dist", "mean_iou"]
+
+    # ----------------------------------------------------------------- train
+    def run_train_iteration(self):
+        watch = Stopwatch().start()
+        batch = self.convert_batch(self.train_loader.get_batch())
+        self.time_meters["data_cache_time"].update(watch.lap())
+        self.state, metrics = self.train_step(self.state, batch, self._step_rng)
+        metrics = jax.device_get(metrics)
+        self.time_meters["forward_time"].update(watch.lap())
+        self.log_step_metrics(metrics)
+        self.time_meters["metrics_time"].update(watch.lap())
+        if self.args.save and self.logger_iteration > 0 and (
+            self.logger_iteration % self.args.save_frequency == 0
+        ):
+            self.save()
+        self.iteration += self.args.batch_size
+        self.logger_iteration += 1
+        return metrics
+
+    def run_val(self, max_batches: int = 50):
+        meters: Dict[str, AverageMeter] = {}
+        for _ in range(max_batches):
+            batch = self.convert_batch(self.val_loader.get_batch())
+            metrics = jax.device_get(self.eval_step(self.state, batch, self._step_rng))
+            for k, v in metrics.items():
+                meters.setdefault(k, AverageMeter()).update(float(np.asarray(v)))
+        results = {k: m.value for k, m in meters.items()}
+        if self.val_logger is not None:
+            self.val_logger.dict_log(
+                {f"epoch/{self.full_name}/{k}": v for k, v in results.items()}, self.iteration
+            )
+        print("val:", {k: round(v, 4) for k, v in results.items()})
+        return results
+
+    def run_eval(self):
+        return self.run_val()
+
+    def save(self, num_to_keep: int = 5):
+        if self.args.save:
+            self.ckpt.save(self.global_step, jax.device_get(self.state))
+
+    def end(self):
+        if getattr(self, "_ended", False):
+            return
+        self._ended = True
+        for loader in (self.train_loader, self.val_loader):
+            if loader is not None:
+                loader.shutdown()
+        self.ckpt.close()
+
+
+class EndTaskImagenetSolver(EndTaskBaseSolver):
+    """Linear probe on ImageNet: SGD momentum, per-head LR base·0.01^m
+    (reference end_task_classifier_solver.py:43-63)."""
+
+    task = "classifier"
+    optimizer_kind = "sgd"
+    head_lr_scales = (1.0, 0.01)
+    default_dataset = "ImagenetDataset"
+    data_source = "IN"
+
+
+class EndTaskSunSceneSolver(EndTaskBaseSolver):
+    """SUN-397 probe: Adam, equal head LRs (reference :66-92)."""
+
+    task = "classifier"
+    optimizer_kind = "adam"
+    head_lr_scales = (1.0, 1.0)
+    default_dataset = "SunSceneDataset"
+    default_transform = "SunSceneTransform"
+    data_source = "SUN_Scenes"
+
+
+class EndTaskKinetics400Solver(EndTaskBaseSolver):
+    """Kinetics-400 LSTM over frame features (reference
+    end_task_kinetics_400_solver.py)."""
+
+    task = "kinetics"
+    optimizer_kind = "adam"
+    default_dataset = "Kinetics400Dataset"
+    default_transform = "Kinetics400Transform"
+    data_source = "Kinetics400"
+
+
+class EndTaskTrackingSolver(EndTaskBaseSolver):
+    """SiamFC tracking on GOT-10k pairs; run_eval = OTB benchmark (reference
+    end_task_tracking_solver.py:100-116)."""
+
+    task = "tracking"
+    optimizer_kind = "sgd"
+    default_dataset = "GOT10kDataset"
+    default_transform = "GOT10KTransform"
+    data_source = "GOT10k"
+
+    def make_config(self) -> EndTaskConfig:
+        cfg = super().make_config()
+        # dense features need the dilated backbone (reference train_tracking.sh
+        # uses ResNet18SiamFCDilated)
+        return cfg
+
+    def convert_batch(self, host_batch):
+        batch = {
+            "exemplar": host_batch["exemplar"],
+            "search": host_batch["search"],
+            "labels": host_batch["labels"].astype(np.float32),  # [B, hy, wy]
+        }
+        return {k: jax.device_put(v, self._batch_sharding) for k, v in batch.items()}
+
+    def run_eval(self):
+        from vince_tpu.tracking.experiments import ExperimentOTB
+        from vince_tpu.tracking.tracker import TrackerSiamFC
+
+        tracker = TrackerSiamFC(
+            name=f"SiamFC_{self.model_name}_{self.args.description}",
+            cfg=None,  # defaults (TRACKER_CFG)
+            encoder_cfg=self.cfg,
+            state=self.state,
+        )
+        root = os.path.join(self.args.data_path, "otb100") if self.args.data_path else None
+        experiment = ExperimentOTB(root)
+        results = experiment.run(tracker)
+        print("OTB results:", results)
+        if self.val_logger is not None:
+            self.val_logger.dict_log(
+                {f"epoch/{self.full_name}/otb_{k}": v for k, v in results.items()},
+                self.iteration,
+            )
+        return results

@@ -1,0 +1,93 @@
+"""Tracking evaluation harnesses.
+
+Replaces the ``got10k.experiments`` dependency (reference
+``end_task_tracking_solver.py:100-116`` runs ``ExperimentOTB`` then reports).
+Implements the standard OTB metrics:
+
+  - precision: fraction of frames whose predicted center is within a pixel
+    threshold of ground truth; the headline number uses 20px.
+  - success: IoU success curve over thresholds [0, 1]; headline = AUC.
+
+Works against any sequence reader exposing ``seq_names`` + ``__getitem__ →
+(img_files, anno)`` (OTBSequences, GOT10kSequences, SyntheticSequences).
+"""
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+from vince_tpu.tracking.ops import iou_xyxy, xywh_to_xyxy
+from vince_tpu.tracking.sequences import OTBSequences, SyntheticSequences
+
+
+def center_error(pred_xywh, gt_xywh) -> float:
+    p = pred_xywh[:2] + pred_xywh[2:] / 2
+    g = gt_xywh[:2] + gt_xywh[2:] / 2
+    return float(np.linalg.norm(p - g))
+
+
+def compute_metrics(pred_boxes: np.ndarray, gt_boxes: np.ndarray) -> Dict[str, np.ndarray]:
+    n = min(len(pred_boxes), len(gt_boxes))
+    ious = np.array(
+        [iou_xyxy(xywh_to_xyxy(pred_boxes[i]), xywh_to_xyxy(gt_boxes[i])) for i in range(n)]
+    )
+    errors = np.array([center_error(pred_boxes[i], gt_boxes[i]) for i in range(n)])
+    return {"ious": ious, "center_errors": errors}
+
+
+class ExperimentOTB:
+    """OTB-2015 protocol: one-pass evaluation (OPE)."""
+
+    def __init__(self, root: Optional[str], result_dir: str = "results/OTB2015",
+                 sequences=None):
+        if sequences is not None:
+            self.sequences = sequences
+        elif root and os.path.isdir(root):
+            self.sequences = OTBSequences(root)
+        else:
+            print("OTB data not found; using synthetic sequences for smoke eval")
+            self.sequences = SyntheticSequences(num_seqs=3, num_frames=12)
+        self.result_dir = result_dir
+        self.nbins_iou = 21
+        self.nbins_ce = 51
+
+    def run(self, tracker) -> Dict[str, float]:
+        all_ious, all_errors = [], []
+        per_seq = {}
+        os.makedirs(self.result_dir, exist_ok=True)
+        for i in range(len(self.sequences)):
+            img_files, anno = self.sequences[i]
+            name = self.sequences.seq_names[i]
+            t0 = time.time()
+            boxes, times = tracker.track(img_files, anno[0])
+            m = compute_metrics(boxes, anno)
+            all_ious.append(m["ious"])
+            all_errors.append(m["center_errors"])
+            fps = len(img_files) / max(times.sum(), 1e-9)
+            per_seq[name] = {
+                "success_auc": float(self._success_auc(m["ious"])),
+                "precision_20px": float(np.mean(m["center_errors"] <= 20)),
+                "fps": float(fps),
+            }
+            print(f"  [{i + 1}/{len(self.sequences)}] {name}: "
+                  f"prec={per_seq[name]['precision_20px']:.3f} "
+                  f"succ={per_seq[name]['success_auc']:.3f} fps={fps:.1f}")
+        ious = np.concatenate(all_ious)
+        errors = np.concatenate(all_errors)
+        results = {
+            # OTB convention: average per-sequence scores
+            "precision": float(np.mean([s["precision_20px"] for s in per_seq.values()])),
+            "success": float(np.mean([s["success_auc"] for s in per_seq.values()])),
+            "speed_fps": float(np.mean([s["fps"] for s in per_seq.values()])),
+        }
+        with open(os.path.join(self.result_dir, f"{tracker.name}.json"), "w") as f:
+            json.dump({"overall": results, "per_sequence": per_seq}, f, indent=2)
+        return results
+
+    def _success_auc(self, ious: np.ndarray) -> float:
+        thresholds = np.linspace(0, 1, self.nbins_iou)
+        curve = [(ious > t).mean() for t in thresholds]
+        return float(np.mean(curve))

@@ -1,0 +1,109 @@
+"""Tracking sequence readers — replaces the ``got10k`` library dependency
+(reference imports ``got10k.datasets.GOT10k`` and ``got10k.experiments.
+ExperimentOTB``; zero-egress rebuild implements the same directory contracts).
+
+  - GOT10kSequences: ``<root>/<split>/<seq>/{*.jpg, groundtruth.txt}`` with
+    optional ``list.txt`` ordering and per-seq meta (absence tolerated).
+  - OTBSequences: ``<root>/<seq>/img/*.jpg`` + ``groundtruth_rect.txt``
+    (comma- or tab-separated, 1-indexed xywh).
+  - SyntheticSequences: procedurally generated moving-square sequences for
+    tests and smoke evals (a bright target drifting over noise).
+"""
+
+import glob
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+class GOT10kSequences:
+    def __init__(self, root: str, subset: str = "train"):
+        self.root = os.path.join(root, subset)
+        list_file = os.path.join(self.root, "list.txt")
+        if os.path.exists(list_file):
+            with open(list_file) as f:
+                names = [line.strip() for line in f if line.strip()]
+        else:
+            names = sorted(
+                d for d in os.listdir(self.root) if os.path.isdir(os.path.join(self.root, d))
+            )
+        self.seq_names = names
+        self.return_meta = False
+
+    def __len__(self):
+        return len(self.seq_names)
+
+    def __getitem__(self, index) -> Tuple[List[str], np.ndarray]:
+        seq_dir = os.path.join(self.root, self.seq_names[index])
+        img_files = sorted(glob.glob(os.path.join(seq_dir, "*.jpg")))
+        anno = np.loadtxt(os.path.join(seq_dir, "groundtruth.txt"), delimiter=",")
+        anno = np.atleast_2d(anno)
+        return img_files, anno
+
+
+class OTBSequences:
+    """OTB-2015 layout; sequences with a single groundtruth file."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.seq_names = sorted(
+            d
+            for d in os.listdir(root)
+            if os.path.isdir(os.path.join(root, d))
+            and os.path.exists(os.path.join(root, d, "groundtruth_rect.txt"))
+        )
+
+    def __len__(self):
+        return len(self.seq_names)
+
+    def __getitem__(self, index) -> Tuple[List[str], np.ndarray]:
+        seq_dir = os.path.join(self.root, self.seq_names[index])
+        img_files = sorted(glob.glob(os.path.join(seq_dir, "img", "*.jpg")))
+        anno_path = os.path.join(seq_dir, "groundtruth_rect.txt")
+        try:
+            anno = np.loadtxt(anno_path, delimiter=",")
+        except ValueError:
+            anno = np.loadtxt(anno_path)
+        return img_files, np.atleast_2d(anno)
+
+
+class SyntheticSequences:
+    """Moving bright square over textured noise; annotations are exact."""
+
+    def __init__(self, num_seqs: int = 4, num_frames: int = 20, size: int = 240,
+                 target: int = 48, seed: int = 0, tmpdir: Optional[str] = None):
+        import cv2
+        import tempfile
+
+        self.seq_names = [f"synth_{i:03d}" for i in range(num_seqs)]
+        self.root = tmpdir or tempfile.mkdtemp(prefix="synth_seqs_")
+        self._annos = []
+        rng = np.random.RandomState(seed)
+        for si in range(num_seqs):
+            seq_dir = os.path.join(self.root, self.seq_names[si])
+            os.makedirs(seq_dir, exist_ok=True)
+            bg = rng.randint(0, 100, (size, size, 3), np.uint8)
+            color = tuple(int(c) for c in rng.randint(180, 256, 3))
+            x, y = rng.randint(20, size - target - 20, 2).astype(np.float64)
+            vx, vy = rng.uniform(-3, 3, 2)
+            boxes = []
+            for fi in range(num_frames):
+                frame = bg.copy()
+                xi, yi = int(round(x)), int(round(y))
+                cv2.rectangle(frame, (xi, yi), (xi + target, yi + target), color, -1)
+                cv2.imwrite(os.path.join(seq_dir, f"{fi + 1:08d}.jpg"),
+                            frame[:, :, ::-1])
+                boxes.append([x + 1, y + 1, target, target])  # 1-indexed xywh
+                x = np.clip(x + vx, 0, size - target - 1)
+                y = np.clip(y + vy, 0, size - target - 1)
+            self._annos.append(np.asarray(boxes, np.float64))
+        self.return_meta = False
+
+    def __len__(self):
+        return len(self.seq_names)
+
+    def __getitem__(self, index):
+        seq_dir = os.path.join(self.root, self.seq_names[index])
+        img_files = sorted(glob.glob(os.path.join(seq_dir, "*.jpg")))
+        return img_files, self._annos[index]
