@@ -281,6 +281,13 @@ class VinceSolver(BaseSolver):
                 thumbs = hb["queue_data"][:, ::4, ::4]
                 self.image_ring.enqueue(list(thumbs), spec.name)
 
+        if (
+            self.train_logger is not None
+            and self.logger_iteration > 0
+            and self.logger_iteration % self.args.image_log_frequency == 0
+        ):
+            self.log_images(host_batches)
+
         if self.args.save and self.logger_iteration > 0 and (
             self.logger_iteration % self.args.save_frequency == 0
         ):
@@ -297,6 +304,41 @@ class VinceSolver(BaseSolver):
             ))
         )
         return metrics
+
+    def log_images(self, host_batches):
+        """Tensorboard image panels (reference get_image_output,
+        vince_model.py:351-570): input pair grids + top-9 NN panels. Uses the
+        val-path device embeddings of the raw host canvases (the reference
+        embeds the augmented batch; panel content is equivalent for QA)."""
+        import jax.numpy as jnp
+
+        from vince_tpu.ops.queue import dequeue
+        from vince_tpu.visualizations import panels
+
+        queue_vecs = np.asarray(jax.device_get(self.state.queue.vectors))
+        for spec, hb in zip(self.sources, host_batches):
+            data = hb["data"]
+            keys = hb["queue_data"]
+            grid = panels.input_pair_grid(data, keys, spec.num_frames)
+            self.train_logger.image_summary(
+                f"{self.full_name}_inputs/{spec.name}", grid, self.iteration
+            )
+            q_emb, _ = self.embed_fn(self.state, jnp.asarray(data))
+            k_emb, _ = self.key_embed_fn(self.state, jnp.asarray(keys))
+            q = np.asarray(jax.device_get(q_emb))
+            k = np.asarray(jax.device_get(k_emb))
+            sims = q @ np.concatenate([k, queue_vecs]).T
+            groups_q = np.arange(len(q)) // spec.num_frames
+            mask = np.zeros_like(sims, dtype=bool)
+            mask[:, : len(k)] = groups_q[:, None] == groups_q[None, :]
+            panel = panels.nearest_neighbor_panel(
+                data, keys, sims, mask,
+                self.image_ring.images, self.image_ring.sources,
+                temperature=self.cfg.temperature, data_source=spec.name,
+            )
+            self.train_logger.image_summary(
+                f"{self.full_name}_outputs/{spec.name}", panel, self.iteration
+            )
 
     # ------------------------------------------------------------------- val
     def run_val(self, max_seconds: float = 300.0, max_batches: int = 50):

@@ -1,0 +1,155 @@
+"""Torch→JAX weight conversion for ResNet backbones and VINCE checkpoints.
+
+SURVEY.md §7 ("hard parts"): linear-probe parity against the reference's
+released PyTorch weights requires importing torchvision-format ResNet18/50
+state dicts (incl. BN running stats) into the flax parameter tree. The
+reference ships weights fetched by ``download_scripts/
+download_pretrained_weights_resnet{18,50}.sh``; their state dicts carry
+prefixes like ``feature_extractor.module.model.`` (DataParallel + Backbone
+wrapper, reference ``vince_model.py:26,35``) which are stripped here.
+
+Layout maps:
+  - conv weight  [O, I, kh, kw]  →  kernel [kh, kw, I, O]
+  - linear weight [O, I]         →  kernel [I, O]
+  - bn weight/bias               →  scale/bias (params)
+  - bn running_mean/var          →  mean/var (batch_stats)
+"""
+
+import re
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+_KNOWN_PREFIXES = (
+    "feature_extractor.module.model.",
+    "feature_extractor.module.",
+    "feature_extractor.model.",
+    "feature_extractor.",
+    "module.model.",
+    "module.",
+    "model.",
+)
+
+
+def _strip_prefix(key: str) -> str:
+    for p in _KNOWN_PREFIXES:
+        if key.startswith(p):
+            return key[len(p):]
+    return key
+
+
+def _to_numpy(t):
+    try:
+        return t.detach().cpu().numpy()
+    except AttributeError:
+        return np.asarray(t)
+
+
+def convert_resnet_state_dict(
+    state_dict: Dict[str, "np.ndarray"],
+    strip_prefixes: bool = True,
+) -> Tuple[Dict, Dict]:
+    """torchvision ResNet state_dict → (params, batch_stats) flax trees
+    matching ``vince_tpu.models.resnet.ResNet`` naming."""
+    params: Dict = {}
+    stats: Dict = {}
+
+    def put(tree, path, value):
+        node = tree
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = value
+
+    for raw_key, tensor in state_dict.items():
+        key = _strip_prefix(raw_key) if strip_prefixes else raw_key
+        v = _to_numpy(tensor)
+        if key in ("fc.weight", "fc.bias") or key.endswith("num_batches_tracked"):
+            continue
+        # layerL.B.xxx → layerL_B.xxx (our flat block naming)
+        m = re.match(r"layer(\d+)\.(\d+)\.(.*)", key)
+        if m:
+            block = f"layer{m.group(1)}_{m.group(2)}"
+            rest = m.group(3)
+        else:
+            block = None
+            rest = key
+
+        def emit(mod_name: str, leaf: str, value):
+            path = ([block, mod_name] if block else [mod_name]) + [leaf]
+            if leaf in ("mean", "var"):
+                put(stats, path, value)
+            else:
+                put(params, path, value)
+
+        parts = rest.split(".")
+        if parts[0].startswith("conv") and parts[-1] == "weight":
+            emit(parts[0], "kernel", v.transpose(2, 3, 1, 0))
+        elif parts[0].startswith("bn"):
+            leaf = {"weight": "scale", "bias": "bias",
+                    "running_mean": "mean", "running_var": "var"}[parts[1]]
+            emit(parts[0], leaf, v)
+        elif parts[0] == "downsample":
+            if parts[1] == "0" and parts[2] == "weight":
+                emit("downsample_conv", "kernel", v.transpose(2, 3, 1, 0))
+            elif parts[1] == "1":
+                leaf = {"weight": "scale", "bias": "bias",
+                        "running_mean": "mean", "running_var": "var"}[parts[2]]
+                emit("downsample_bn", leaf, v)
+        # anything else (heads etc.) handled by convert_vince_state_dict
+    return params, stats
+
+
+def convert_linear(weight, bias=None) -> Dict:
+    out = {"kernel": _to_numpy(weight).T}
+    if bias is not None:
+        out["bias"] = _to_numpy(bias)
+    return out
+
+
+def convert_vince_state_dict(state_dict) -> Tuple[Dict, Dict]:
+    """Full reference VinceModel state_dict → (params, batch_stats) for
+    ``VinceEncoder``: backbone (under ``backbone``), projection MLP
+    (``embedding.0/2`` → embedding.fc1/fc2, reference vince_model.py:38-42),
+    imagenet decoders (:79-90)."""
+    backbone_sd = {}
+    other = {}
+    for key, tensor in state_dict.items():
+        skey = _strip_prefix(key)
+        if skey.startswith(("embedding.", "imagenet_decoders.", "jigsaw")):
+            other[skey] = tensor
+        elif key != skey or re.match(r"(conv1|bn1|layer\d)", skey):
+            backbone_sd[skey] = tensor
+    b_params, b_stats = convert_resnet_state_dict(backbone_sd, strip_prefixes=False)
+    params: Dict = {"backbone": b_params}
+    stats: Dict = {"backbone": b_stats}
+
+    def maybe(name_t, name_f):
+        w = other.get(name_t + ".weight")
+        if w is not None:
+            return {name_f: convert_linear(w, other.get(name_t + ".bias"))}
+        return {}
+
+    emb = {}
+    emb.update(maybe("embedding.0", "fc1"))
+    emb.update(maybe("embedding.2", "fc2"))
+    if emb:
+        params["embedding"] = emb
+    dec0 = maybe("imagenet_decoders.0", "fc_out")
+    if dec0:
+        params["imagenet_decoder_0"] = dec0
+    dec1 = {}
+    dec1.update(maybe("imagenet_decoders.1.0", "fc0"))
+    dec1.update(maybe("imagenet_decoders.1.2", "fc_out"))
+    if dec1:
+        params["imagenet_decoder_1"] = dec1
+    return params, stats
+
+
+def load_torch_checkpoint(path: str):
+    """Load a .pt/.pth file (requires torch, CPU)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    return obj
