@@ -141,6 +141,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     parser.add_argument("--synthetic-num-videos", type=int, default=512)
     parser.add_argument(
+        "--use-fused-infonce", action="store_true",
+        help="Use the Pallas streaming queue kernel for InfoNCE scoring.",
+    )
+    parser.add_argument(
+        "--profile-dir", type=str, default="",
+        help="Capture a jax.profiler trace of training iterations into DIR "
+        "(the reference's phase timers stay on; this adds XLA-level traces).",
+    )
+    parser.add_argument(
         "--platform", default=None, choices=[None, "cpu", "tpu", "axon"],
         help="Force a JAX platform (e.g. cpu with "
         "XLA_FLAGS=--xla_force_host_platform_device_count=8 for mesh debug).",

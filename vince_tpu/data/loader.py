@@ -99,13 +99,18 @@ class PersistentDataLoader:
 
     def _next_indices(self) -> Optional[List[int]]:
         with self._epoch_lock:
-            if self._cursor + self.batch_size > len(self._order):
-                if not self.never_ending:
-                    return None
-                self._epoch += 1
-                self._reshuffle()
-            idx = self._order[self._cursor : self._cursor + self.batch_size]
-            self._cursor += self.batch_size
+            idx: List[int] = []
+            while len(idx) < self.batch_size:
+                if self._cursor >= len(self._order):
+                    if not self.never_ending and not idx:
+                        return None
+                    if not self.never_ending:
+                        break
+                    self._epoch += 1
+                    self._reshuffle()
+                take = min(self.batch_size - len(idx), len(self._order) - self._cursor)
+                idx.extend(self._order[self._cursor : self._cursor + take])
+                self._cursor += take
             return idx
 
     def _worker_loop(self):

@@ -1,0 +1,151 @@
+"""Fused Pallas queue-scoring kernel for multi-pair InfoNCE.
+
+The negative-queue contribution to InfoNCE needs, per query row i:
+
+    m_i = max_n  q_i·queue_n / τ
+    S_i = Σ_n exp(q_i·queue_n / τ − m_i)
+
+(the streaming-softmax partials the loss combines with the batch-key block —
+see ``ops/sharded_infonce.py``). This kernel computes them **blockwise in one
+pass over the queue without materializing the [B, K] logits in HBM** —
+flash-attention-style: each (row-block, col-block) tile does one MXU matmul
+``q_blk · queue_blkᵀ``, updates the running max with rescaling, and
+accumulates both the exp-sum and the **exp-weighted key sum**
+
+    W_i = Σ_n exp(q_i·queue_n / τ − m_i) · queue_n
+
+which makes the backward pass a single elementwise product (no second sweep):
+since the queue is a stop-gradient buffer (reference ``storage_queue.py:51-56``
+detaches it), the only cotangent is
+
+    ∂S_i/∂q_i = W_i / τ.
+
+``queue_logsumexp`` wraps the kernel in a ``jax.custom_vjp`` implementing
+exactly that; ``m`` is returned pre-detached (the downstream combine
+``exp(m−M)·S`` is invariant to m, so its true cotangent is zero).
+
+The same math in plain XLA (``_reference_queue_logsumexp``) is used on
+non-TPU backends and in parity tests.
+"""
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pltpu is importable on CPU too (for interpret mode)
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
+
+DEFAULT_BLOCK_ROWS = 128
+DEFAULT_BLOCK_COLS = 512
+
+
+def _reference_queue_logsumexp(q, queue, temperature):
+    logits = jnp.dot(q, queue.T, preferred_element_type=jnp.float32) / temperature
+    m = jnp.max(logits, axis=-1)
+    p = jnp.exp(logits - m[:, None])
+    s = jnp.sum(p, axis=-1)
+    w = jnp.dot(p, queue, preferred_element_type=jnp.float32)
+    return m, s, w
+
+
+def _kernel(q_ref, queue_ref, m_ref, s_ref, w_ref, *, block_cols, temperature):
+    """One row-block; streams col-blocks of the queue held in VMEM tiles."""
+    num_cols = pl.num_programs(1)
+    j = pl.program_id(1)
+
+    q = q_ref[:]  # [bm, D]
+    k = queue_ref[:]  # [bn, D] — this col block
+    logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * (1.0 / temperature)
+    blk_max = jnp.max(logits, axis=-1, keepdims=True)  # [bm, 1]
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        s_ref[:] = jnp.zeros_like(s_ref)
+        w_ref[:] = jnp.zeros_like(w_ref)
+
+    m_prev = m_ref[:]
+    m_new = jnp.maximum(m_prev, blk_max)
+    scale = jnp.exp(m_prev - m_new)
+    p = jnp.exp(logits - m_new)  # [bm, bn]
+    s_ref[:] = s_ref[:] * scale + jnp.sum(p, axis=-1, keepdims=True)
+    w_ref[:] = w_ref[:] * scale + jnp.dot(p, k, preferred_element_type=jnp.float32)
+    m_ref[:] = m_new
+
+
+def _pallas_queue_logsumexp(q, queue, temperature, block_rows, block_cols, interpret):
+    b, d = q.shape
+    k = queue.shape[0]
+    bm = min(block_rows, b)
+    bn = min(block_cols, k)
+    assert b % bm == 0, (b, bm)
+    assert k % bn == 0, (k, bn)
+    grid = (b // bm, k // bn)
+    kernel = functools.partial(_kernel, block_cols=bn, temperature=temperature)
+    m, s, w = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, d), lambda i, j: (i, 0)),
+            pl.BlockSpec((bn, d), lambda i, j: (j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((bm, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((bm, d), lambda i, j: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q.astype(jnp.float32), queue.astype(jnp.float32))
+    return m[:, 0], s[:, 0], w
+
+
+def _fwd_impl(q, queue, temperature, block_rows, block_cols):
+    on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+    padded_b = False
+    b, d = q.shape
+    bm = min(block_rows, max(b, 8))
+    if d % 128 != 0 or queue.shape[0] % max(block_cols, 1) != 0 or b % bm != 0:
+        # ragged shapes → XLA fallback (still fused by XLA, just materializes)
+        return _reference_queue_logsumexp(q, queue, temperature)
+    if not on_tpu:
+        return _reference_queue_logsumexp(q, queue, temperature)
+    return _pallas_queue_logsumexp(q, queue, temperature, block_rows, block_cols, False)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def queue_logsumexp(
+    q: jax.Array,
+    queue: jax.Array,
+    temperature: float = 0.07,
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+    block_cols: int = DEFAULT_BLOCK_COLS,
+) -> Tuple[jax.Array, jax.Array]:
+    """(m, S): per-row streamed max and exp-sum of q·queueᵀ/τ.
+    m is detached; the queue receives no gradient (it is a buffer)."""
+    m, s, _ = _fwd_impl(q, queue, temperature, block_rows, block_cols)
+    return m, s
+
+
+def _vjp_fwd(q, queue, temperature, block_rows, block_cols):
+    m, s, w = _fwd_impl(q, queue, temperature, block_rows, block_cols)
+    return (m, s), (w,)
+
+
+def _vjp_bwd(temperature, block_rows, block_cols, residuals, cotangents):
+    (w,) = residuals
+    _, ds = cotangents
+    dq = ds[:, None] * w * (1.0 / temperature)
+    return dq, None
+
+
+queue_logsumexp.defvjp(_vjp_fwd, _vjp_bwd)

@@ -38,6 +38,8 @@ def sharded_multi_pair_infonce(
     # counted as negatives; default = ~pos_mask (inter-batch comparison). The
     # MoCo path (reference vince_model.py:227-233) passes all-False: batch
     # keys are positives only, negatives come solely from the queue.
+    use_fused_queue_kernel: bool = False,  # Pallas streaming kernel for the
+    # queue sweep (ops/pallas/infonce_kernel.py) — never materializes [b, K]
 ) -> Dict[str, jax.Array]:
     """Returns per-local-row loss/metric aggregates (caller pmeans over data)."""
     maskf = pos_mask.astype(jnp.float32)
@@ -49,7 +51,18 @@ def sharded_multi_pair_infonce(
     sims_batch = jnp.dot(q_local, k_global.T, preferred_element_type=jnp.float32)
     logits_batch = sims_batch / temperature
 
-    if queue_shard is not None:
+    queue_kernel_partials = None
+    if queue_shard is not None and use_fused_queue_kernel:
+        from vince_tpu.ops.pallas.infonce_kernel import queue_logsumexp
+
+        m_loc, s_loc = queue_logsumexp(q_local, queue_shard, temperature)
+        queue_kernel_partials = (m_loc[:, None], s_loc[:, None])
+        m_queue = queue_kernel_partials[0]  # already detached by the kernel vjp
+        s_queue_max_raw = m_queue * temperature
+        if queue_axis is not None:
+            m_queue = lax.pmax(m_queue, queue_axis)
+            s_queue_max_raw = lax.pmax(s_queue_max_raw, queue_axis)
+    elif queue_shard is not None:
         sims_queue = jnp.dot(q_local, queue_shard.T, preferred_element_type=jnp.float32)
         logits_queue = sims_queue / temperature
         # maxes feed only the (stop-gradient) stabilizer and metrics — detach
@@ -70,7 +83,13 @@ def sharded_multi_pair_infonce(
     scaled_batch = logits_batch - row_max
     neg_batch_sum = jnp.sum(jnp.exp(scaled_batch) * inv_maskf, axis=-1, keepdims=True)
 
-    if queue_shard is not None:
+    if queue_kernel_partials is not None:
+        m_loc, s_loc = queue_kernel_partials
+        # exp(m−M)·S is invariant to m, so routing the gradient only through S
+        # (the kernel's custom VJP) is exact
+        q_exp_local = jnp.exp(m_loc - row_max) * s_loc
+        neg_queue_sum = lax.psum(q_exp_local, queue_axis) if queue_axis else q_exp_local
+    elif queue_shard is not None:
         q_exp_local = jnp.sum(jnp.exp(logits_queue - row_max), axis=-1, keepdims=True)
         neg_queue_sum = lax.psum(q_exp_local, queue_axis) if queue_axis else q_exp_local
     else:

@@ -145,6 +145,7 @@ class VinceSolver(BaseSolver):
             compute_dtype=dtype,
             data_axis_size=md,
             queue_axis_size=mq,
+            use_fused_infonce=getattr(args, "use_fused_infonce", False),
         )
         self.optimizer = self._build_optimizer()
         state = init_vince_state(jax.random.PRNGKey(getattr(args, "seed", 0)), self.cfg, self.optimizer)
@@ -255,6 +256,17 @@ class VinceSolver(BaseSolver):
         return keys
 
     def run_train_iteration(self):
+        # jax.profiler trace capture (SURVEY §5.1: phase meters + XLA traces)
+        profile_dir = getattr(self.args, "profile_dir", "")
+        if profile_dir and self.logger_iteration == 5:
+            import jax.profiler
+
+            jax.profiler.start_trace(profile_dir)
+        if profile_dir and self.logger_iteration == 8:
+            import jax.profiler
+
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to {profile_dir}")
         watch = Stopwatch().start()
         device_batch, host_batches = self.get_batch()
         self.time_meters["data_cache_time"].update(watch.lap())

@@ -87,6 +87,7 @@ class VinceConfig:
     compute_dtype: Any = jnp.float32  # bfloat16 on real TPU
     data_axis_size: int = 1
     queue_axis_size: int = 1
+    use_fused_infonce: bool = False  # Pallas streaming queue kernel
 
     @property
     def total_batch(self) -> int:
@@ -319,6 +320,7 @@ def make_train_step(
                     q_sources[si], k_sources[si], mask, cfg.temperature,
                     queue_shard=queue_snapshot, queue_axis=queue_axis,
                     batch_neg_mask=neg_mask,
+                    use_fused_queue_kernel=cfg.use_fused_infonce,
                 )
                 add("nce_loss", res["dist"])
                 for mk in ("nce_accuracy", "softmax_weight", "cosine_sim", "cosine_sim_neg_max"):
@@ -472,6 +474,7 @@ def make_eval_step(cfg: VinceConfig, mesh):
                 q_sources[si], k_sources[si], mask, cfg.temperature,
                 queue_shard=queue_snapshot, queue_axis=queue_axis,
                 batch_neg_mask=neg_mask,
+                use_fused_queue_kernel=cfg.use_fused_infonce,
             )
             metrics.setdefault("loss/nce_loss", []).append(res["dist"])
             for mk in ("nce_accuracy", "softmax_weight", "cosine_sim", "cosine_sim_neg_max"):
