@@ -20,8 +20,16 @@ from vince_tpu.data.base_dataset import BaseDataset
 class ImagenetDataset(BaseDataset):
     """Class-per-directory layout: ``<root>/<split>/<wnid>/*.JPEG``."""
 
-    def __init__(self, args, data_subset: str = "train", num_data_points: Optional[int] = None):
+    def __init__(self, args, data_subset: str = "train", num_data_points: Optional[int] = None,
+                 num_images_to_return: int = -1):
         super().__init__(args, data_subset)
+        # multi-view parity: RepeatedImagenetTransform repeats each image per
+        # frame slot (reference transforms.py:179-204, vince_solver.py:184-193
+        # repeat_interleave); views diverge via independent device aug rngs
+        self.num_views = (
+            num_images_to_return if num_images_to_return > 0
+            else max(getattr(args, "num_frames", 1), 1)
+        )
         root = os.path.join(args.imagenet_data_path, data_subset)
         classes = sorted(
             d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
@@ -46,11 +54,12 @@ class ImagenetDataset(BaseDataset):
         img = self.read_image(path)
         if img is None:
             return None
+        reps = np.repeat(img[None], self.num_views, axis=0)
         return {
-            "data": img[None],  # [1, C, C, 3] — one "frame"
-            "queue_data": img[None],  # second view comes from independent device aug
-            "labels": np.int32(label),
-            "imagenet_labels": np.int32(label),
+            "data": reps,  # [num_views, C, C, 3]; views diverge on device
+            "queue_data": reps,
+            "labels": np.repeat(np.int32(label), self.num_views),
+            "imagenet_labels": np.repeat(np.int32(label), self.num_views),
             "ind": np.int64(idx),
         }
 

@@ -108,6 +108,7 @@ class SyntheticImageDataset(BaseDataset):
                  num_classes: int = 0, seed: int = 0):
         super().__init__(args, data_subset)
         num_classes = num_classes or getattr(args, "end_task_classifier_num_classes", 0) or 10
+        self.num_views = max(getattr(args, "num_frames", 1), 1)
         self.num_images = num_images
         self.num_classes = num_classes
         self.seed = seed + (0 if data_subset == "train" else 10_000_000)
@@ -123,12 +124,13 @@ class SyntheticImageDataset(BaseDataset):
         img = np.ones((self.canvas, self.canvas, 3), np.uint8) * self.class_colors[label]
         noise = rng.randint(-40, 41, img.shape).astype(np.int16)
         img = np.clip(img.astype(np.int16) + noise, 0, 255).astype(np.uint8)
+        reps = np.repeat(img[None], self.num_views, axis=0)
         return {
-            "data": img[None],
-            "queue_data": img[None],
-            "labels": np.int32(label),
-            "imagenet_labels": np.int32(label),
-            "classifier_labels": np.int32(label),
+            "data": reps,
+            "queue_data": reps,
+            "labels": np.repeat(np.int32(label), self.num_views),
+            "imagenet_labels": np.repeat(np.int32(label), self.num_views),
+            "classifier_labels": np.repeat(np.int32(label), self.num_views),
             "ind": np.int64(idx),
         }
 

@@ -132,6 +132,7 @@ class ResNet(nn.Module):
     bn_epsilon: float = 1e-5
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None  # set to sync BN stats across this mesh axis
+    remat: bool = False  # rematerialize blocks (trade FLOPs for HBM at big batch)
 
     @property
     def output_channels(self) -> int:
@@ -174,12 +175,13 @@ class ResNet(nn.Module):
             if stage > 0 and self.replace_stride_with_dilation[stage - 1]:
                 dilation *= stride
                 stride = 1
+            block_cls = nn.remat(self.block_cls) if self.remat else self.block_cls
             for block in range(num_blocks):
                 expansion = 4 if self.block_cls is Bottleneck else 1
                 in_ch = x.shape[-1]
                 s = stride if block == 0 else 1
                 needs_down = s != 1 or in_ch != filters * expansion
-                x = self.block_cls(
+                x = block_cls(
                     filters=filters,
                     norm=norm,
                     strides=s,

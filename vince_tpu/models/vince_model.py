@@ -44,10 +44,16 @@ class VinceEncoder(nn.Module):
     num_imagenet_classes: int = 1000
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None  # None → per-device BN stats (MoCo-style)
+    norm_kind: str = "batchnorm"  # {"batchnorm", "groupnorm"}
 
     def setup(self):
         backbone_cls = get_backbone(self.backbone_name)
-        self.backbone = backbone_cls(dtype=self.dtype, axis_name=self.bn_axis_name, name="backbone")
+        kwargs = {}
+        if "ResNet" in self.backbone_name:
+            kwargs["norm_kind"] = self.norm_kind
+        self.backbone = backbone_cls(
+            dtype=self.dtype, axis_name=self.bn_axis_name, name="backbone", **kwargs
+        )
         self.output_channels = self.backbone.output_channels
         if self.use_attention:
             self.pool = heads.AttentionPool2D(name="pool")

@@ -259,13 +259,13 @@ class VinceSolver(BaseSolver):
         # jax.profiler trace capture (SURVEY §5.1: phase meters + XLA traces)
         profile_dir = getattr(self.args, "profile_dir", "")
         if profile_dir and self.logger_iteration == 5:
-            import jax.profiler
+            from jax import profiler as _profiler
 
-            jax.profiler.start_trace(profile_dir)
+            _profiler.start_trace(profile_dir)
         if profile_dir and self.logger_iteration == 8:
-            import jax.profiler
+            from jax import profiler as _profiler
 
-            jax.profiler.stop_trace()
+            _profiler.stop_trace()
             print(f"profiler trace written to {profile_dir}")
         watch = Stopwatch().start()
         device_batch, host_batches = self.get_batch()

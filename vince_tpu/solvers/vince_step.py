@@ -88,6 +88,7 @@ class VinceConfig:
     data_axis_size: int = 1
     queue_axis_size: int = 1
     use_fused_infonce: bool = False  # Pallas streaming queue kernel
+    norm_kind: str = "batchnorm"  # {"batchnorm", "groupnorm"}
 
     @property
     def total_batch(self) -> int:
@@ -124,6 +125,7 @@ def build_encoder(cfg: VinceConfig) -> VinceEncoder:
         jigsaw=cfg.jigsaw,
         use_imagenet_decoders=any(s.use_imagenet_ce for s in cfg.sources),
         dtype=cfg.compute_dtype,
+        norm_kind=cfg.norm_kind,
     )
 
 
