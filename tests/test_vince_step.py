@@ -121,6 +121,38 @@ def test_embed_fn(setup):
     assert emb2.shape == (16, 16)
 
 
+def test_jigsaw_step_variants(cpu_devices):
+    """PIRL jigsaw: both jigsaw-side step variants compile and run on the mesh
+    (reference vince_solver.py:397-403 alternates which encoder is jigsawed)."""
+    import optax
+    from vince_tpu.parallel.mesh import MeshSpec, make_mesh
+    from vince_tpu.solvers.vince_step import (
+        SourceSpec, VinceConfig, init_vince_state, make_train_step, shard_state,
+    )
+
+    cfg = VinceConfig(
+        sources=(SourceSpec("YT", batch_size=8, num_frames=2, source_id=1,
+                            transform="JigsawTransform"),),
+        backbone="ResNet18", embed_size=16, image_size=33,  # 33 → 11px patches
+        queue_size=64, data_axis_size=4, queue_axis_size=2, jigsaw=True,
+    )
+    mesh = make_mesh(MeshSpec(4, 2))
+    opt = optax.sgd(0.01)
+    state = shard_state(init_vince_state(jax.random.PRNGKey(0), cfg, opt), mesh)
+    rng = np.random.RandomState(0)
+    batch = (
+        {
+            "data": jnp.asarray(rng.randint(0, 256, (8, 37, 37, 3), np.uint8)),
+            "queue_data": jnp.asarray(rng.randint(0, 256, (8, 37, 37, 3), np.uint8)),
+        },
+    )
+    for side in ("query", "key"):
+        state = shard_state(init_vince_state(jax.random.PRNGKey(0), cfg, opt), mesh)
+        step = make_train_step(cfg, opt, mesh, jigsaw_side=side)
+        state2, metrics = step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(jax.device_get(metrics["loss/nce_loss"]))), side
+
+
 def test_ema_momentum_math(setup):
     """After one step, key = m*key_old + (1-m)*query_new leafwise."""
     cfg, mesh, optimizer, make_state, step_fn = setup

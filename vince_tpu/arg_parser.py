@@ -135,6 +135,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     parser.add_argument("--no-shuffle-bn", dest="shuffle_bn", action="store_false")
     parser.add_argument(
+        "--sync-bn", action="store_true",
+        help="Cross-chip synced BN statistics (default: per-device, MoCo-style).",
+    )
+    parser.add_argument(
+        "--pretrained-weights-path", type=str, default="",
+        help="Torch ResNet/VinceModel .pt state dict to initialize the backbone "
+        "(the TPU realization of --use-imagenet-weights; requires torch).",
+    )
+    parser.add_argument(
         "--cifar-data-path", type=str,
         default=os.path.join("datasets", "cifar_data", "cifar_{data_subset}.npz"),
         help="NPZ path template for the CIFAR kNN probe (skipped if missing).",

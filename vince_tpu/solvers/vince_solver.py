@@ -146,9 +146,37 @@ class VinceSolver(BaseSolver):
             data_axis_size=md,
             queue_axis_size=mq,
             use_fused_infonce=getattr(args, "use_fused_infonce", False),
+            sync_bn=getattr(args, "sync_bn", False),
         )
         self.optimizer = self._build_optimizer()
         state = init_vince_state(jax.random.PRNGKey(getattr(args, "seed", 0)), self.cfg, self.optimizer)
+
+        weights_path = getattr(args, "pretrained_weights_path", "")
+        if (args.use_imagenet_weights or weights_path) and os.path.exists(weights_path):
+            # torchvision/VinceModel checkpoint → backbone init (SURVEY §7)
+            from vince_tpu.models.vince_model import split_vince_params
+            from vince_tpu.ops.ema import ema_update
+            from vince_tpu.utils.torch_convert import (
+                convert_vince_state_dict, load_torch_checkpoint,
+            )
+
+            sd = load_torch_checkpoint(weights_path)
+            t_params, t_stats = convert_vince_state_dict(sd)
+            params = dict(state.params)
+            stats = dict(state.batch_stats)
+            for k, v in t_params.items():
+                if k in params:
+                    params[k] = jax.tree_util.tree_map(jnp.asarray, v)
+            for k, v in t_stats.items():
+                if k in stats:
+                    stats[k] = jax.tree_util.tree_map(jnp.asarray, v)
+            tracked, _ = split_vince_params(params)
+            state = state.replace(
+                params=params, batch_stats=stats,
+                key_params=jax.tree_util.tree_map(jnp.copy, tracked),
+                key_batch_stats=jax.tree_util.tree_map(jnp.copy, stats),
+            )
+            print(f"Initialized backbone from torch weights: {weights_path}")
 
         self.ckpt = CheckpointManager(
             args.checkpoint_dir,

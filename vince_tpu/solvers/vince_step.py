@@ -89,6 +89,7 @@ class VinceConfig:
     queue_axis_size: int = 1
     use_fused_infonce: bool = False  # Pallas streaming queue kernel
     norm_kind: str = "batchnorm"  # {"batchnorm", "groupnorm"}
+    sync_bn: bool = False  # cross-chip BN stats over the data axis (vs MoCo per-device)
 
     @property
     def total_batch(self) -> int:
@@ -126,6 +127,7 @@ def build_encoder(cfg: VinceConfig) -> VinceEncoder:
         use_imagenet_decoders=any(s.use_imagenet_ce for s in cfg.sources),
         dtype=cfg.compute_dtype,
         norm_kind=cfg.norm_kind,
+        bn_axis_name=DATA_AXIS if cfg.sync_bn else None,
     )
 
 
