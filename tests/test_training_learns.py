@@ -58,7 +58,7 @@ def test_contrastive_optimization_progresses(cpu_devices):
     loader = PersistentDataLoader(dataset, batch_size=16, num_workers=4)
 
     losses, negmaxes = [], []
-    for _ in range(120):
+    for _ in range(60):
         hb = loader.get_batch()
         batch = (
             {"data": jnp.asarray(hb["data"]), "queue_data": jnp.asarray(hb["queue_data"])},

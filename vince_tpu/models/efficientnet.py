@@ -10,7 +10,7 @@ Implemented from the EfficientNet paper definition (not ported code).
 
 import functools
 import math
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -7,7 +7,7 @@ the reference end tasks use a 1-layer (linear probe) and a 2-layer MLP head
 accuracy metric (``linear_model.py:73-100``).
 """
 
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Tuple
 
 import flax.linen as nn
 import jax

@@ -35,7 +35,7 @@ Transform *pipelines* (named configs matching ``transforms.__all__``) live in
 """
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

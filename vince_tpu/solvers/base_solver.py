@@ -15,7 +15,7 @@ from typing import Dict, Optional
 import numpy as np
 
 from vince_tpu.utils.logger import Logger
-from vince_tpu.utils.meters import RollingAverageMeter, Stopwatch
+from vince_tpu.utils.meters import RollingAverageMeter
 from vince_tpu.utils.schedules import vince_lr_schedule
 
 

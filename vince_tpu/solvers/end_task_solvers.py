@@ -19,12 +19,11 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from vince_tpu.data import get_dataset
-from vince_tpu.data.loader import PersistentDataLoader, collate_video_batch
+from vince_tpu.data.loader import PersistentDataLoader
 from vince_tpu.parallel.mesh import DATA_AXIS, MeshSpec, make_mesh
 from vince_tpu.solvers.base_solver import BaseSolver
 from vince_tpu.solvers.end_task_step import (
     EndTaskConfig,
-    EndTaskState,
     build_optimizer,
     init_end_task_state,
     make_end_task_train_step,

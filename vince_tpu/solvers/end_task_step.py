@@ -16,14 +16,14 @@ Tasks:
 """
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Tuple
 
 import flax.struct
 import jax
 import jax.numpy as jnp
 import optax
 from jax import lax
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from vince_tpu.models.kinetics_model import Kinetics400Model, kinetics_losses
 from vince_tpu.models.linear_model import MultiLinearModel, classifier_losses

@@ -352,7 +352,6 @@ class VinceSolver(BaseSolver):
         embeds the augmented batch; panel content is equivalent for QA)."""
         import jax.numpy as jnp
 
-        from vince_tpu.ops.queue import dequeue
         from vince_tpu.visualizations import panels
 
         queue_vecs = np.asarray(jax.device_get(self.state.queue.vectors))

@@ -23,7 +23,7 @@ cotangents back to exactly one logical gradient (see ops/sharded_infonce.py).
 """
 
 import dataclasses
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import flax.struct
 import jax

@@ -9,7 +9,7 @@ binary response label of width ``positive_label_width`` (:160-166).
 
 import copy
 import numbers
-from typing import Optional, Tuple
+from typing import Optional
 
 import cv2
 import numpy as np

@@ -12,9 +12,6 @@ upsample → scale penalty) is ONE jitted function with fixed shapes — no
 recompilation across frames or sequences; argmax/box update is host numpy.
 """
 
-import functools
-from typing import Dict, Optional
-
 import numpy as np
 
 from vince_tpu.data.got10k_dataset import TRACKER_CFG

@@ -6,7 +6,7 @@ compositor used by every tensorboard image panel, e.g. reference
 ``vince_model.py:509``).
 """
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import cv2
 import numpy as np

@@ -7,7 +7,7 @@ helpers (used throughout e.g. reference ``models/vince_model.py:148-170``),
 ``to_numpy`` / ``from_numpy``. All helpers are pure and jit-safe.
 """
 
-from typing import Any, Dict, List, Sequence
+from typing import Any, Dict, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ Layout maps:
 """
 
 import re
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

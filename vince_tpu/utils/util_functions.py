@@ -6,7 +6,6 @@ RandomGaussianBlur are superseded by the on-device pipeline in
 
 import functools
 import os
-from typing import Optional
 
 import numpy as np
 

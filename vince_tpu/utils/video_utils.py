@@ -9,7 +9,7 @@ reference, so thresholds here are chosen to reproduce the *behavioral* contract
 (drop near-duplicate, blurry, static, and letterboxed frames).
 """
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import cv2
 import numpy as np

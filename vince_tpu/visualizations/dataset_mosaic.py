@@ -6,9 +6,7 @@ coordinates (:127-143 — the ``dg_util.tsne.tsne_image`` equivalent, built on
 sklearn TSNE).
 """
 
-import argparse
 import os
-from typing import Optional
 
 import numpy as np
 

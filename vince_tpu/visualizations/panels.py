@@ -8,7 +8,7 @@ missing from top-k), ImageNet prediction grids (:475-520), attention overlays
 (:522-568; also ``visualizations/attention.py``).
 """
 
-from typing import Dict, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 import cv2
 import numpy as np

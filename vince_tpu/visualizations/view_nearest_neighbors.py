@@ -9,9 +9,8 @@ grids within/across datasets (:91-135). Run:
         --num-images 512 --output-dir nn_grids
 """
 
-import argparse
 import os
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 
