@@ -15,7 +15,8 @@ MoCo-style ResNet50 training at ~167 frames/sec per 2020-era datacenter GPU
 The reference's single-process DataParallel would be at or below this.
 
 Env overrides: BENCH_BATCH (default 128), BENCH_STEPS (default 10),
-BENCH_BACKBONE (ResNet50), BENCH_IMAGE (224), BENCH_QUEUE (65536).
+BENCH_BACKBONE (ResNet50), BENCH_IMAGE (224), BENCH_QUEUE (65536),
+BENCH_FUSED=1 (Pallas streaming InfoNCE kernel).
 """
 
 import json
@@ -62,6 +63,7 @@ def run_bench(batch: int, steps: int, backbone: str, image: int, queue_size: int
         data_axis_size=n_dev,
         queue_axis_size=1,
         shuffle_bn=True,
+        use_fused_infonce=bool(int(os.environ.get("BENCH_FUSED", "0"))),
     )
     mesh = make_mesh(MeshSpec(data_axis_size=n_dev, queue_axis_size=1))
     optimizer = optax.chain(optax.add_decayed_weights(1e-4), optax.sgd(0.03, momentum=0.9))
