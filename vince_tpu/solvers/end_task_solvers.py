@@ -164,7 +164,10 @@ class EndTaskBaseSolver(BaseSolver):
         data = host_batch["data"]
         labels = host_batch.get("classifier_labels", host_batch.get("labels"))
         if self.task == "kinetics":
-            labels = labels.reshape(-1, self.cfg.num_frames)[:, 0]
+            # labels arrive one-per-clip from the collate; data is frame-major
+            assert labels.shape[0] * self.cfg.num_frames == data.shape[0], (
+                labels.shape, data.shape, self.cfg.num_frames
+            )
         batch = {"data": data, "labels": labels.astype(np.int32)}
         return {k: jax.device_put(v, self._batch_sharding) for k, v in batch.items()}
 

@@ -201,6 +201,9 @@ def make_end_task_train_step(cfg: EndTaskConfig, optimizer, mesh, train: bool = 
                     # [B*T, F] → [B, T, F] (end_task_kinetics_400_solver.py:47-60)
                     feats = feats.reshape(-1, cfg.num_frames, feats.shape[-1])
                     logits = decoder.apply({"params": decoder_params}, feats)
+                    assert logits.shape[0] == batch["labels"].shape[0], (
+                        logits.shape, batch["labels"].shape
+                    )
                     out = kinetics_losses(logits, batch["labels"])
                 else:
                     logits = decoder.apply({"params": decoder_params}, feats)
@@ -250,6 +253,9 @@ def make_end_task_train_step(cfg: EndTaskConfig, optimizer, mesh, train: bool = 
             if cfg.task == "kinetics":
                 feats = feats.reshape(-1, cfg.num_frames, feats.shape[-1])
                 logits = decoder.apply({"params": state.decoder_params}, feats)
+                assert logits.shape[0] == batch["labels"].shape[0], (
+                    logits.shape, batch["labels"].shape
+                )
                 out = kinetics_losses(logits, batch["labels"])
             else:
                 logits = decoder.apply({"params": state.decoder_params}, feats)
