@@ -49,13 +49,20 @@ def test_classifier_solver_learns(tmp_path, cpu_devices):
 def test_kinetics_solver_runs(tmp_path, cpu_devices):
     from vince_tpu.solvers.end_task_solvers import EndTaskKinetics400Solver
 
-    args = _args(tmp_path, ["--dataset", "SyntheticClipDataset", "--num-frames", "2"])
+    args = _args(
+        tmp_path,
+        ["--dataset", "SyntheticClipDataset", "--num-frames", "2", "--base-lr", "0.02"],
+    )
     s = EndTaskKinetics400Solver(args)
     s.reset_epoch()
-    for _ in range(2):
+    accs = []
+    for _ in range(15):
         m = s.run_train_iteration()
+        accs.append(float(np.asarray(m["classifier_accuracy_0"])))
     assert np.isfinite(np.asarray(m["loss/classifier_loss_0"]))
-    assert 0.0 <= float(np.asarray(m["classifier_accuracy_0"])) <= 1.0
+    # color-separable 4-class clips: the LSTM head must learn above chance —
+    # this also guards clip↔label alignment (a mis-reshape breaks learning)
+    assert np.mean(accs[-4:]) > 0.4, accs
     s.end()
 
 
