@@ -135,6 +135,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     parser.add_argument("--no-shuffle-bn", dest="shuffle_bn", action="store_false")
     parser.add_argument(
+        "--loader-processes", action="store_true",
+        help="Fork-pool loader workers (true parallel JPEG decode on multi-core "
+        "hosts; threads are GIL-bound).",
+    )
+    parser.add_argument(
         "--sync-bn", action="store_true",
         help="Cross-chip synced BN statistics (default: per-device, MoCo-style).",
     )

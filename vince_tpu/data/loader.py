@@ -14,11 +14,46 @@ on-device. Threads (not processes) suffice because cv2 JPEG decode releases
 the GIL.
 """
 
+import multiprocessing as mp
 import queue
 import threading
 from typing import Any, Callable, Dict, List, Optional, Sequence
 
 import numpy as np
+
+# Worker-process globals (fork initializer)
+_WORKER_DATASET = None
+_WORKER_COLLATE = None
+
+
+def _proc_init(dataset, collate_fn, seed):
+    global _WORKER_DATASET, _WORKER_COLLATE
+    try:
+        import cv2
+
+        cv2.setNumThreads(0)  # one decode per process; no nested pools
+    except ImportError:
+        pass
+    _WORKER_DATASET = dataset
+    _WORKER_COLLATE = collate_fn
+    np.random.seed(seed + mp.current_process().pid % 100000)
+
+
+def _proc_load(indices):
+    items = []
+    for i in indices:
+        item = _WORKER_DATASET[i]
+        tries = 0
+        while item is None and tries < 10:
+            item = _WORKER_DATASET[int(np.random.randint(len(_WORKER_DATASET)))]
+            tries += 1
+        if item is not None:
+            items.append(item)
+    if not items:
+        return None
+    while len(items) < len(indices):
+        items.append(items[len(items) % max(len(items), 1)])
+    return _WORKER_COLLATE(items)
 
 
 def collate_video_batch(items: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
@@ -57,7 +92,13 @@ class PersistentDataLoader:
         prefetch: int = 2,
         seed: int = 0,
         device_put_fn: Optional[Callable] = None,
+        use_processes: bool = False,  # fork-pool workers: true parallel JPEG
+        # decode (threads are GIL-bound at ~400 frames/s; the reference's
+        # PersistentDataLoader is process-based for the same reason)
     ):
+        self.use_processes = use_processes
+        self._pool = None
+        self._pending: List = []
         self.batch_size = batch_size
         self.num_workers = max(1, num_workers)
         self.shuffle = shuffle
@@ -82,15 +123,34 @@ class PersistentDataLoader:
         self.shutdown()
         self.dataset = dataset
         self._stop = threading.Event()
-        self._queue = queue.Queue(maxsize=self.prefetch)
         self._rng = np.random.RandomState(self.seed)
         self._reshuffle()
+        if self.use_processes:
+            ctx = mp.get_context("fork")
+            self._pool = ctx.Pool(
+                self.num_workers,
+                initializer=_proc_init,
+                initargs=(dataset, self.collate_fn, self.seed),
+            )
+            self._pending = []
+            self._fill_pending()
+            return
+        self._queue = queue.Queue(maxsize=self.prefetch)
         self._threads = [
             threading.Thread(target=self._worker_loop, daemon=True)
             for _ in range(self.num_workers)
         ]
         for t in self._threads:
             t.start()
+
+    def _fill_pending(self):
+        """Keep enough async batch jobs in flight to saturate the pool."""
+        target = self.num_workers + self.prefetch
+        while len(self._pending) < target:
+            indices = self._next_indices()
+            if indices is None:
+                break
+            self._pending.append(self._pool.apply_async(_proc_load, (indices,)))
 
     def _reshuffle(self):
         n = len(self.dataset)
@@ -114,6 +174,12 @@ class PersistentDataLoader:
             return idx
 
     def _worker_loop(self):
+        try:
+            import cv2
+
+            cv2.setNumThreads(0)  # avoid nested-pool oversubscription
+        except ImportError:
+            pass
         while not self._stop.is_set():
             indices = self._next_indices()
             if indices is None:
@@ -143,6 +209,16 @@ class PersistentDataLoader:
                     continue
 
     def get_batch(self, timeout: Optional[float] = None):
+        if self.use_processes:
+            while True:
+                job = self._pending.pop(0)
+                batch = job.get(timeout=timeout)
+                self._fill_pending()
+                if batch is None:
+                    continue
+                if self.device_put_fn is not None:
+                    batch = self.device_put_fn(batch)
+                return batch
         return self._queue.get(timeout=timeout)
 
     def __iter__(self):
@@ -157,6 +233,11 @@ class PersistentDataLoader:
             yield batch
 
     def shutdown(self):
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool.join()
+            self._pool = None
+            self._pending = []
         if self._threads:
             self._stop.set()
             for t in self._threads:

@@ -64,7 +64,8 @@ class EndTaskBaseSolver(BaseSolver):
             return
         items = self.args.batch_size // max(self.args.num_frames, 1)
         self.train_loader = PersistentDataLoader(
-            batch_size=items, num_workers=min(self.args.num_workers, 16), never_ending=True
+            batch_size=items, num_workers=min(self.args.num_workers, 16), never_ending=True,
+            use_processes=getattr(self.args, "loader_processes", False),
         )
         self.train_loader.set_dataset(self._make_dataset("train"))
         self.val_loader = PersistentDataLoader(

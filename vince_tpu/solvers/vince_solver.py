@@ -78,6 +78,7 @@ class VinceSolver(BaseSolver):
                 batch_size=items_per_batch,
                 num_workers=min(args.num_workers, 16),
                 never_ending=True,
+                use_processes=getattr(args, "loader_processes", False),
             )
             train_loader.set_dataset(self._make_dataset(dataset_name, "train"))
             val_loader = PersistentDataLoader(
