@@ -153,6 +153,59 @@ def test_jigsaw_step_variants(cpu_devices):
         assert np.isfinite(float(jax.device_get(metrics["loss/nce_loss"]))), side
 
 
+def test_attention_pool_step(cpu_devices):
+    """--use-attention config through the full mesh step."""
+    import optax
+    from vince_tpu.parallel.mesh import MeshSpec, make_mesh
+    from vince_tpu.solvers.vince_step import (
+        SourceSpec, VinceConfig, init_vince_state, make_train_step, shard_state,
+    )
+
+    cfg = VinceConfig(
+        sources=(SourceSpec("YT", batch_size=8, num_frames=2, source_id=1),),
+        backbone="ResNet18", embed_size=16, image_size=32,
+        queue_size=64, data_axis_size=4, queue_axis_size=2, use_attention=True,
+    )
+    mesh = make_mesh(MeshSpec(4, 2))
+    opt = optax.sgd(0.01)
+    state = shard_state(init_vince_state(jax.random.PRNGKey(0), cfg, opt), mesh)
+    step = make_train_step(cfg, opt, mesh)
+    rng = np.random.RandomState(0)
+    batch = (
+        {"data": jnp.asarray(rng.randint(0, 256, (8, 36, 36, 3), np.uint8)),
+         "queue_data": jnp.asarray(rng.randint(0, 256, (8, 36, 36, 3), np.uint8))},
+    )
+    _, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(jax.device_get(metrics["loss/nce_loss"])))
+
+
+@pytest.mark.slow
+def test_efficientnet_backbone_step(cpu_devices):
+    """EfficientNetB0 through the mesh step (registry → encoder → InfoNCE)."""
+    import optax
+    from vince_tpu.parallel.mesh import MeshSpec, make_mesh
+    from vince_tpu.solvers.vince_step import (
+        SourceSpec, VinceConfig, init_vince_state, make_train_step, shard_state,
+    )
+
+    cfg = VinceConfig(
+        sources=(SourceSpec("YT", batch_size=8, num_frames=2, source_id=1),),
+        backbone="EfficientNetB0", embed_size=16, image_size=32,
+        queue_size=64, data_axis_size=4, queue_axis_size=1,
+    )
+    mesh = make_mesh(MeshSpec(4, 1))
+    opt = optax.sgd(0.01)
+    state = shard_state(init_vince_state(jax.random.PRNGKey(0), cfg, opt), mesh)
+    step = make_train_step(cfg, opt, mesh)
+    rng = np.random.RandomState(0)
+    batch = (
+        {"data": jnp.asarray(rng.randint(0, 256, (8, 36, 36, 3), np.uint8)),
+         "queue_data": jnp.asarray(rng.randint(0, 256, (8, 36, 36, 3), np.uint8))},
+    )
+    _, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(jax.device_get(metrics["loss/nce_loss"])))
+
+
 def test_ema_momentum_math(setup):
     """After one step, key = m*key_old + (1-m)*query_new leafwise."""
     cfg, mesh, optimizer, make_state, step_fn = setup

@@ -104,12 +104,16 @@ def _hsv_to_rgb(img):
     return jnp.stack([r, g, b], axis=-1)
 
 
-# YIQ hue rotation (fast hue-adjust); luma preserved exactly
-_RGB2YIQ = jnp.array(
-    [[0.299, 0.587, 0.114], [0.596, -0.274, -0.322], [0.211, -0.523, 0.312]], jnp.float32
+# YIQ hue rotation (fast hue-adjust); luma preserved exactly.
+# NOTE: plain-python constants — creating jnp arrays at module import would
+# initialize the default JAX backend before the CLI's --platform override.
+import numpy as _np
+
+_RGB2YIQ = _np.array(
+    [[0.299, 0.587, 0.114], [0.596, -0.274, -0.322], [0.211, -0.523, 0.312]], _np.float32
 )
-_YIQ2RGB = jnp.array(
-    [[1.0, 0.956, 0.621], [1.0, -0.272, -0.647], [1.0, -1.106, 1.703]], jnp.float32
+_YIQ2RGB = _np.array(
+    [[1.0, 0.956, 0.621], [1.0, -0.272, -0.647], [1.0, -1.106, 1.703]], _np.float32
 )
 
 
@@ -117,11 +121,11 @@ def _hue_rotate(img, shift):
     """img [B,H,W,3], shift [B] in [-0.5, 0.5] turns."""
     theta = (2.0 * jnp.pi) * shift
     cos, sin = jnp.cos(theta), jnp.sin(theta)
-    yiq = jnp.einsum("bhwc,dc->bhwd", img, _RGB2YIQ)
+    yiq = jnp.einsum("bhwc,dc->bhwd", img, jnp.asarray(_RGB2YIQ))
     y = yiq[..., 0]
     i = yiq[..., 1] * cos[:, None, None] - yiq[..., 2] * sin[:, None, None]
     q = yiq[..., 1] * sin[:, None, None] + yiq[..., 2] * cos[:, None, None]
-    out = jnp.einsum("bhwd,cd->bhwc", jnp.stack([y, i, q], -1), _YIQ2RGB)
+    out = jnp.einsum("bhwd,cd->bhwc", jnp.stack([y, i, q], -1), jnp.asarray(_YIQ2RGB))
     return jnp.clip(out, 0.0, 1.0)
 
 
