@@ -155,3 +155,116 @@ def test_forward_parity_dilated():
         t_out = tblock(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
     j_out = np.asarray(jblock.apply({"params": params, "batch_stats": stats}, jnp.asarray(x)))
     np.testing.assert_allclose(j_out, t_out, rtol=2e-3, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# EfficientNet-B0 parity: our flax EfficientNet with weights converted from a
+# torch model using the reference package's naming (`efficientnet_pytorch`,
+# reference backbone_models.py:92-124) and its TF-SAME static padding.
+# ---------------------------------------------------------------------------
+
+import math  # noqa: E402
+import torch.nn.functional as F  # noqa: E402
+
+
+def _tf_same_pad(x, k, s):
+    ih, iw = x.shape[-2:]
+    pad_h = max((math.ceil(ih / s) - 1) * s + k - ih, 0)
+    pad_w = max((math.ceil(iw / s) - 1) * s + k - iw, 0)
+    return F.pad(x, [pad_w // 2, pad_w - pad_w // 2, pad_h // 2, pad_h - pad_h // 2])
+
+
+def _swish(x):
+    return x * torch.sigmoid(x)
+
+
+class TorchMBConv(tnn.Module):
+    def __init__(self, cin, cout, expand, kernel, stride):
+        super().__init__()
+        self.kernel, self.stride, self.expand = kernel, stride, expand
+        self.cin, self.cout = cin, cout
+        mid = cin * expand
+        if expand != 1:
+            self._expand_conv = tnn.Conv2d(cin, mid, 1, bias=False)
+            self._bn0 = tnn.BatchNorm2d(mid, eps=1e-3)
+        self._depthwise_conv = tnn.Conv2d(mid, mid, kernel, stride, 0, groups=mid, bias=False)
+        self._bn1 = tnn.BatchNorm2d(mid, eps=1e-3)
+        sq = max(1, int(cin * 0.25))
+        self._se_reduce = tnn.Conv2d(mid, sq, 1)
+        self._se_expand = tnn.Conv2d(sq, mid, 1)
+        self._project_conv = tnn.Conv2d(mid, cout, 1, bias=False)
+        self._bn2 = tnn.BatchNorm2d(cout, eps=1e-3)
+
+    def forward(self, inputs):
+        x = inputs
+        if self.expand != 1:
+            x = _swish(self._bn0(self._expand_conv(x)))
+        x = _tf_same_pad(x, self.kernel, self.stride)
+        x = _swish(self._bn1(self._depthwise_conv(x)))
+        s = F.adaptive_avg_pool2d(x, 1)
+        s = self._se_expand(_swish(self._se_reduce(s)))
+        x = torch.sigmoid(s) * x
+        x = self._bn2(self._project_conv(x))
+        if self.stride == 1 and self.cin == self.cout:
+            x = x + inputs
+        return x
+
+
+class TorchEfficientNetB0Features(tnn.Module):
+    """efficientnet_pytorch-style B0 feature extractor (param names match)."""
+
+    _STAGES = (  # (expand, out, repeats, stride, kernel)
+        (1, 16, 1, 1, 3), (6, 24, 2, 2, 3), (6, 40, 2, 2, 5), (6, 80, 3, 2, 3),
+        (6, 112, 3, 1, 5), (6, 192, 4, 2, 5), (6, 320, 1, 1, 3),
+    )
+
+    def __init__(self):
+        super().__init__()
+        self._conv_stem = tnn.Conv2d(3, 32, 3, 2, 0, bias=False)
+        self._bn0 = tnn.BatchNorm2d(32, eps=1e-3)
+        blocks = []
+        cin = 32
+        for expand, cout, repeats, stride, kernel in self._STAGES:
+            for r in range(repeats):
+                blocks.append(TorchMBConv(cin, cout, expand, kernel, stride if r == 0 else 1))
+                cin = cout
+        self._blocks = tnn.ModuleList(blocks)
+        self._conv_head = tnn.Conv2d(cin, 1280, 1, bias=False)
+        self._bn1 = tnn.BatchNorm2d(1280, eps=1e-3)
+
+    def forward(self, x):
+        x = _swish(self._bn0(self._conv_stem(_tf_same_pad(x, 3, 2))))
+        for b in self._blocks:
+            x = b(x)
+        return _swish(self._bn1(self._conv_head(x)))
+
+
+def test_efficientnet_forward_parity_eval_mode():
+    from vince_tpu.models.efficientnet import EfficientNet
+    from vince_tpu.utils.torch_convert import convert_efficientnet_state_dict
+
+    torch.manual_seed(0)
+    tmodel = TorchEfficientNetB0Features().eval()
+    with torch.no_grad():
+        for m in tmodel.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 1.5)
+                m.weight.uniform_(0.5, 1.5)
+                m.bias.uniform_(-0.5, 0.5)
+
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    params, stats = convert_efficientnet_state_dict(sd)
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        t_out = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    t_out = t_out.transpose(0, 2, 3, 1)
+
+    jmodel = EfficientNet(variant="b0")
+    j_out = np.asarray(
+        jmodel.apply({"params": params, "batch_stats": stats}, jnp.asarray(x), train=False)
+    )
+    assert j_out.shape == t_out.shape == (2, 2, 2, 1280)
+    np.testing.assert_allclose(j_out, t_out, rtol=2e-3, atol=5e-4)

@@ -77,12 +77,13 @@ class MBConv(nn.Module):
             y = nn.Conv(expanded, (1, 1), use_bias=False, name="expand_conv")(y)
             y = self.norm(name="expand_bn")(y)
             y = nn.swish(y)
-        pad = self.kernel // 2
+        # TF-SAME (asymmetric for stride 2) matches the reference package's
+        # Conv2dStaticSamePadding — required for torch-weight forward parity.
         y = nn.Conv(
             expanded,
             (self.kernel, self.kernel),
             strides=(self.strides, self.strides),
-            padding=[(pad, pad)] * 2,
+            padding="SAME",
             feature_group_count=expanded,
             use_bias=False,
             name="depthwise_conv",
@@ -125,7 +126,7 @@ class EfficientNet(nn.Module):
         x = x.astype(self.dtype)
         x = nn.Conv(
             round_filters(32, width), (3, 3), strides=(2, 2),
-            padding=[(1, 1), (1, 1)], use_bias=False, name="stem_conv",
+            padding="SAME", use_bias=False, name="stem_conv",
         )(x)
         x = norm(name="stem_bn")(x)
         x = nn.swish(x)

@@ -99,6 +99,73 @@ def convert_resnet_state_dict(
     return params, stats
 
 
+_EN_BN_LEAF = {"weight": "scale", "bias": "bias",
+               "running_mean": "mean", "running_var": "var"}
+
+
+def convert_efficientnet_state_dict(
+    state_dict: Dict[str, "np.ndarray"],
+    strip_prefixes: bool = True,
+) -> Tuple[Dict, Dict]:
+    """``efficientnet_pytorch`` (lukemelas) EfficientNet state_dict →
+    (params, batch_stats) flax trees matching
+    ``vince_tpu.models.efficientnet.EfficientNet`` naming.
+
+    Reference backbones use this package (reference
+    ``models/building_blocks/backbone_models.py:92-124``). Name map:
+    ``_conv_stem/_bn0`` → stem, ``_blocks.{i}._{expand,depthwise,project}_conv``
+    + ``_bn{0,1,2}`` → ``block_{i}``, ``_se_{reduce,expand}`` → ``se``,
+    ``_conv_head``/top-level ``_bn1`` → head. The classifier ``_fc`` is
+    dropped (feature extractor only). Depthwise weights [C,1,kh,kw] map to
+    flax grouped-conv kernels [kh,kw,1,C] with the same transpose as dense
+    convs.
+    """
+    params: Dict = {}
+    stats: Dict = {}
+
+    def put(path, value, is_stat):
+        node = stats if is_stat else params
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = value
+
+    for raw_key, tensor in state_dict.items():
+        key = _strip_prefix(raw_key) if strip_prefixes else raw_key
+        if key.startswith("_fc.") or key.endswith("num_batches_tracked"):
+            continue
+        v = _to_numpy(tensor)
+        m = re.match(r"_blocks\.(\d+)\.(.*)", key)
+        if m:
+            block = f"block_{m.group(1)}"
+            rest = m.group(2)
+            if rest == "_expand_conv.weight":
+                put([block, "expand_conv", "kernel"], v.transpose(2, 3, 1, 0), False)
+            elif rest == "_depthwise_conv.weight":
+                put([block, "depthwise_conv", "kernel"], v.transpose(2, 3, 1, 0), False)
+            elif rest == "_project_conv.weight":
+                put([block, "project_conv", "kernel"], v.transpose(2, 3, 1, 0), False)
+            elif rest.startswith("_se_"):
+                mod = {"_se_reduce": "reduce", "_se_expand": "expand"}[rest.split(".")[0]]
+                leaf = rest.split(".")[1]
+                value = v.transpose(2, 3, 1, 0) if leaf == "weight" else v
+                put([block, "se", mod, "kernel" if leaf == "weight" else "bias"],
+                    value, False)
+            elif rest.startswith("_bn"):
+                bn = {"_bn0": "expand_bn", "_bn1": "depthwise_bn",
+                      "_bn2": "project_bn"}[rest.split(".")[0]]
+                leaf = _EN_BN_LEAF[rest.split(".")[1]]
+                put([block, bn, leaf], v, leaf in ("mean", "var"))
+        elif key == "_conv_stem.weight":
+            put(["stem_conv", "kernel"], v.transpose(2, 3, 1, 0), False)
+        elif key == "_conv_head.weight":
+            put(["head_conv", "kernel"], v.transpose(2, 3, 1, 0), False)
+        elif key.startswith(("_bn0.", "_bn1.")):
+            bn = "stem_bn" if key.startswith("_bn0.") else "head_bn"
+            leaf = _EN_BN_LEAF[key.split(".")[1]]
+            put([bn, leaf], v, leaf in ("mean", "var"))
+    return params, stats
+
+
 def convert_linear(weight, bias=None) -> Dict:
     out = {"kernel": _to_numpy(weight).T}
     if bias is not None:
@@ -117,9 +184,12 @@ def convert_vince_state_dict(state_dict) -> Tuple[Dict, Dict]:
         skey = _strip_prefix(key)
         if skey.startswith(("embedding.", "imagenet_decoders.", "jigsaw")):
             other[skey] = tensor
-        elif key != skey or re.match(r"(conv1|bn1|layer\d)", skey):
+        elif key != skey or re.match(r"(conv1|bn1|layer\d|_conv_stem|_blocks|_conv_head|_bn\d)", skey):
             backbone_sd[skey] = tensor
-    b_params, b_stats = convert_resnet_state_dict(backbone_sd, strip_prefixes=False)
+    if any(k.startswith("_conv_stem") for k in backbone_sd):
+        b_params, b_stats = convert_efficientnet_state_dict(backbone_sd, strip_prefixes=False)
+    else:
+        b_params, b_stats = convert_resnet_state_dict(backbone_sd, strip_prefixes=False)
     params: Dict = {"backbone": b_params}
     stats: Dict = {"backbone": b_stats}
 
