@@ -140,6 +140,11 @@ def build_parser() -> argparse.ArgumentParser:
         "hosts; threads are GIL-bound).",
     )
     parser.add_argument(
+        "--remat", action="store_true",
+        help="Rematerialize backbone residual blocks (jax.checkpoint): trades "
+        "spare MXU FLOPs for HBM activation traffic; enables larger batches.",
+    )
+    parser.add_argument(
         "--sync-bn", action="store_true",
         help="Cross-chip synced BN statistics (default: per-device, MoCo-style).",
     )

@@ -45,12 +45,14 @@ class VinceEncoder(nn.Module):
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None  # None → per-device BN stats (MoCo-style)
     norm_kind: str = "batchnorm"  # {"batchnorm", "groupnorm"}
+    remat: bool = False  # rematerialize residual blocks (HBM traffic ↓, FLOPs ↑)
 
     def setup(self):
         backbone_cls = get_backbone(self.backbone_name)
         kwargs = {}
         if "ResNet" in self.backbone_name:
             kwargs["norm_kind"] = self.norm_kind
+            kwargs["remat"] = self.remat
         self.backbone = backbone_cls(
             dtype=self.dtype, axis_name=self.bn_axis_name, name="backbone", **kwargs
         )

@@ -90,6 +90,7 @@ class VinceConfig:
     use_fused_infonce: bool = False  # Pallas streaming queue kernel
     norm_kind: str = "batchnorm"  # {"batchnorm", "groupnorm"}
     sync_bn: bool = False  # cross-chip BN stats over the data axis (vs MoCo per-device)
+    remat: bool = False  # --remat: rematerialize residual blocks
 
     @property
     def total_batch(self) -> int:
@@ -127,6 +128,7 @@ def build_encoder(cfg: VinceConfig) -> VinceEncoder:
         use_imagenet_decoders=any(s.use_imagenet_ce for s in cfg.sources),
         dtype=cfg.compute_dtype,
         norm_kind=cfg.norm_kind,
+        remat=cfg.remat,
         bn_axis_name=DATA_AXIS if cfg.sync_bn else None,
     )
 
@@ -234,13 +236,13 @@ def _split_sources(cfg: VinceConfig, x, local=True):
     return out
 
 
-def make_train_step(
+def make_train_step_fn(
     cfg: VinceConfig,
     optimizer: optax.GradientTransformation,
     mesh,
     jigsaw_side: Optional[str] = None,  # None | "query" | "key"
 ):
-    """Build the jitted shard_map'ped train step: (state, batch, rng) →
+    """Build the shard_map'ped train step: (state, batch, rng) →
     (state', metrics). ``batch`` is a tuple of per-source dicts with uint8
     ``data`` / ``queue_data`` [B_s, H, W, 3] (+ ``labels`` for CE sources),
     sharded on the data axis."""
@@ -417,7 +419,20 @@ def make_train_step(
         )
         return fn(state, batch, rng)
 
-    return jax.jit(wrapped, donate_argnums=(0,))
+    return wrapped
+
+
+def make_train_step(
+    cfg: VinceConfig,
+    optimizer: optax.GradientTransformation,
+    mesh,
+    jigsaw_side: Optional[str] = None,
+):
+    """Jitted train step; `make_train_step_fn` returns the unjitted callable
+    (for `.lower().compile(compiler_options=...)` experiments)."""
+    return jax.jit(
+        make_train_step_fn(cfg, optimizer, mesh, jigsaw_side), donate_argnums=(0,)
+    )
 
 
 def _source_offsets(cfg: VinceConfig):
