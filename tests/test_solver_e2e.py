@@ -104,3 +104,39 @@ def test_cifar_knn_probe(tmp_path, cpu_devices):
     acc = s.run_cifar_knn()
     assert acc is not None and acc > 0.3  # 4 classes, chance = 0.25
     s.end()
+
+
+def test_restored_queue_not_clobbered_and_fill_queue(tmp_path, cpu_devices):
+    """(a) Resume must keep the checkpointed bank (our improvement over the
+    reference's always-refill, SURVEY §5.4) rather than overwrite it with
+    `fill_queue_repeat`; (b) `fill_queue` (reference vince_solver.py:293-313)
+    fills from distinct batches, tags sources, and marks the ring full."""
+    from vince_tpu.solvers.vince_solver import VinceSolver
+
+    args = _args(tmp_path, extra=["--no-restore"])
+    args.save = True
+    s1 = VinceSolver(args)
+    s1.reset_epoch()
+    for _ in range(2):
+        s1.run_train_iteration()  # enqueues real keys → total > 0
+    bank1 = np.asarray(s1.state.queue.vectors)
+    total1 = int(np.asarray(s1.state.queue.total))
+    assert total1 > 0
+    s1.save()
+    s1.end()
+
+    args2 = _args(tmp_path)
+    args2.save = True
+    s2 = VinceSolver(args2)
+    np.testing.assert_array_equal(np.asarray(s2.state.queue.vectors), bank1)
+    assert int(np.asarray(s2.state.queue.total)) == total1
+
+    s2.fill_queue()
+    q = s2.state.queue
+    assert int(np.asarray(q.total)) == args2.vince_queue_size  # marked full
+    assert int(np.asarray(q.tail)) == 0
+    srcs = np.asarray(q.sources)
+    assert (srcs >= 0).all()  # every slot tagged by a real source
+    norms = np.linalg.norm(np.asarray(q.vectors), axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-3)
+    s2.end()

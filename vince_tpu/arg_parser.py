@@ -130,8 +130,23 @@ def build_parser() -> argparse.ArgumentParser:
         help="Queue-sharding mesh axis size (negative-set scaling).",
     )
     parser.add_argument(
+        "--pytorch-gpu-ids", type=str, default=None,
+        help="Compat alias (reference arg_parser.py:131-141). Ignored on TPU "
+        "except as a mesh-data-size hint when --mesh-data-size is unset.",
+    )
+    parser.add_argument(
+        "--feature-extractor-gpu-ids", type=str, default=None,
+        help="Compat alias: device count here sizes the data-parallel mesh "
+        "axis when --mesh-data-size is unset (the DataParallel analog).",
+    )
+    parser.add_argument(
         "--compute-dtype", default="float32", choices=["float32", "bfloat16"],
         help="Encoder compute dtype (bfloat16 on real TPU).",
+    )
+    parser.add_argument(
+        "--use-apex", action="store_true",
+        help="Compat alias for the reference's apex AMP flag (arg_parser.py:120): "
+        "selects bfloat16 compute (the TPU mixed-precision analog).",
     )
     parser.add_argument("--no-shuffle-bn", dest="shuffle_bn", action="store_false")
     parser.add_argument(
@@ -179,6 +194,11 @@ def build_parser() -> argparse.ArgumentParser:
 def finalize_args(args) -> argparse.Namespace:
     """Derived values + invariant checks (reference arg_parser.py:199-239)."""
     args.input_size = (args.input_height, args.input_width)
+    if getattr(args, "use_apex", False):
+        args.compute_dtype = "bfloat16"
+    # GPU-id list → mesh-shape hint (reference arg_parser.py:223-232 analog)
+    if args.mesh_data_size == 0 and getattr(args, "feature_extractor_gpu_ids", None):
+        args.mesh_data_size = len(str(args.feature_extractor_gpu_ids).split(","))
 
     # invariant asserts, reference :202-209 (note: the reference's first assert
     # message has the polarity of its condition flipped; we keep the condition)

@@ -196,6 +196,9 @@ class VinceSolver(BaseSolver):
                 state = restored
                 self.iteration = int(np.asarray(state.step)) * args.batch_size
                 self.epoch = self.iteration // (args.iterations_per_epoch * args.batch_size)
+                # our checkpoints carry the queue (improvement over the
+                # reference, SURVEY §5.4) — don't clobber a restored bank
+                self._queue_restored = int(np.asarray(state.queue.total)) > 0
                 print(f"Restored step {int(np.asarray(state.step))}; resuming epoch {self.epoch}")
 
         self.state = shard_state(state, self.mesh)
@@ -210,7 +213,7 @@ class VinceSolver(BaseSolver):
         self.image_ring = HostImageRing(min(self.cfg.queue_size, 4096))
         self._np_rng = np.random.RandomState(1234)
 
-        if not self.args.disable_dataloader:
+        if not self.args.disable_dataloader and not getattr(self, "_queue_restored", False):
             self.fill_queue_repeat()
 
     def _build_optimizer(self):
@@ -244,28 +247,58 @@ class VinceSolver(BaseSolver):
         return self._device_batch(host_batches), host_batches
 
     # ----------------------------------------------------------------- queue
-    def fill_queue_repeat(self):
-        """Prefill the bank by repeating one key batch (reference
-        vince_solver.py:315-333: tail reset to 0, full flag cleared)."""
-        device_batch, _ = self.get_batch()
-        keys = []
+    def _embed_batch_keys(self, device_batch):
+        """Key-encoder embeddings + source tags for one multi-source batch."""
+        keys, srcs = [], []
         for spec, src_batch in zip(self.sources, device_batch):
             emb, _ = self.key_embed_fn(self.state, src_batch["queue_data"])
-            keys.append(np.asarray(jax.device_get(emb)))
-        keys = np.concatenate(keys, axis=0)
-        k = self.cfg.queue_size
-        reps = int(np.ceil(k / len(keys)))
-        bank = np.tile(keys, (reps, 1))[:k]
+            e = np.asarray(jax.device_get(emb))
+            keys.append(e)
+            srcs.append(np.full((len(e),), spec.source_id, np.int32))
+        return np.concatenate(keys, axis=0), np.concatenate(srcs, axis=0)
+
+    def _write_queue(self, bank, sources, tail, total):
         queue = self.state.queue
         new_queue = queue.replace(
             vectors=jax.device_put(
                 jnp.asarray(bank, queue.vectors.dtype),
                 NamedSharding(self.mesh, P("queue")),
             ),
-            tail=jnp.zeros((), jnp.int32),
-            total=jnp.zeros((), jnp.int32),
+            sources=jax.device_put(
+                jnp.asarray(sources, jnp.int32), NamedSharding(self.mesh, P("queue"))
+            ),
+            tail=jnp.asarray(tail, jnp.int32),
+            total=jnp.asarray(total, jnp.int32),
         )
         self.state = self.state.replace(queue=new_queue)
+
+    def fill_queue(self):
+        """Prefill the bank from many distinct key batches (reference
+        vince_solver.py:293-313; leaves the ring marked full)."""
+        k = self.cfg.queue_size
+        keys, srcs, n = [], [], 0
+        print("Filling queue")
+        while n < k:
+            device_batch, _ = self.get_batch()
+            e, s = self._embed_batch_keys(device_batch)
+            keys.append(e)
+            srcs.append(s)
+            n += len(e)
+        self._write_queue(
+            np.concatenate(keys)[:k], np.concatenate(srcs)[:k], tail=0, total=k
+        )
+        print("Queue filled")
+
+    def fill_queue_repeat(self):
+        """Prefill the bank by repeating one key batch (reference
+        vince_solver.py:315-333: tail reset to 0, full flag cleared)."""
+        device_batch, _ = self.get_batch()
+        keys, srcs = self._embed_batch_keys(device_batch)
+        k = self.cfg.queue_size
+        reps = int(np.ceil(k / len(keys)))
+        bank = np.tile(keys, (reps, 1))[:k]
+        sources = np.tile(srcs, reps)[:k]
+        self._write_queue(bank, sources, tail=0, total=0)
         print("Queue filled with repeats")
 
     # ----------------------------------------------------------------- train
