@@ -133,3 +133,41 @@ def test_focal_loss_and_xcorr():
         assert np.isfinite(val) and val > 0
     loss, acc_sum = ghmc_loss(logits, labels)
     assert np.isfinite(float(loss)) and acc_sum.shape == (30,)
+
+
+def test_finetune_updates_encoder(tmp_path, cpu_devices):
+    """Without --freeze-feature-extractor the encoder must be fine-tuned
+    (reference end_task_base_solver.py:83-90 adds its param group); with the
+    flag it must stay bit-identical."""
+    import jax
+    from vince_tpu.solvers.end_task_solvers import EndTaskSunSceneSolver
+
+    def leaf0(tree):
+        return np.asarray(jax.tree_util.tree_leaves(tree)[0])
+
+    argv = ["--dataset", "SyntheticImageDataset", "--base-lr", "0.05"]
+    args = _args(tmp_path / "ft", argv)
+    args.freeze_feature_extractor = False
+    s = EndTaskSunSceneSolver(args)
+    before = jax.tree_util.tree_map(np.asarray, s.state.encoder_params)
+    s.reset_epoch()
+    for _ in range(2):
+        m = s.run_train_iteration()
+    assert np.isfinite(m["loss/total_loss"])
+    after = s.state.encoder_params
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(before), jax.tree_util.tree_leaves(after)
+        )
+    )
+    assert changed, "encoder params did not update in fine-tune mode"
+    s.end()
+
+    args2 = _args(tmp_path / "fr", argv)
+    s2 = EndTaskSunSceneSolver(args2)
+    before2 = leaf0(s2.state.encoder_params)
+    s2.reset_epoch()
+    s2.run_train_iteration()
+    np.testing.assert_array_equal(before2, leaf0(s2.state.encoder_params))
+    s2.end()

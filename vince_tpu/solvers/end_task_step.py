@@ -89,17 +89,27 @@ def build_optimizer(cfg: EndTaskConfig, base_lr: float, optimizer_kind: str = "a
         lr = base_lr * scale
         if optimizer_kind == "sgd":
             return optax.chain(optax.add_decayed_weights(wd), optax.sgd(lr, momentum=0.9))
-        return optax.chain(optax.add_decayed_weights(1e-4), optax.adam(lr))
+        return optax.chain(optax.add_decayed_weights(wd), optax.adam(lr))
 
     if cfg.task == "classifier":
-        def labels(params):
-            return {
-                k: (f"head{int(k.split('_')[-1])}" if k.startswith("classifier_") else "head0")
-                for k in params
-            }
+        def head_label(k):
+            return f"head{int(k.split('_')[-1])}" if k.startswith("classifier_") else "head0"
 
         txs = {f"head{i}": make_tx(s) for i, s in enumerate(cfg.head_lr_scales)}
-        return optax.multi_transform(txs, labels)
+        if cfg.freeze_feature_extractor:
+            return optax.multi_transform(
+                txs, lambda params: {k: head_label(k) for k in params}
+            )
+        # fine-tune: encoder joins as its own group at base LR, wd=1e-4
+        # (reference end_task_base_solver.py:83-90)
+        txs["encoder"] = make_tx(1.0)
+        return optax.multi_transform(
+            txs,
+            lambda params: {
+                "decoder": {k: head_label(k) for k in params["decoder"]},
+                "encoder": "encoder",
+            },
+        )
     return make_tx(1.0)
 
 
@@ -134,12 +144,17 @@ def init_end_task_state(
         xf = jnp.zeros((2, s, s, out_ch), cfg.compute_dtype)
         dvars = decoder.init({"params": d_rng}, zf, xf)
     decoder_params = dvars["params"]
+    opt_target = (
+        decoder_params
+        if cfg.freeze_feature_extractor
+        else {"decoder": decoder_params, "encoder": encoder_params}
+    )
     return EndTaskState(
         step=jnp.zeros((), jnp.int32),
         encoder_params=encoder_params,
         encoder_batch_stats=encoder_batch_stats,
         decoder_params=decoder_params,
-        opt_state=optimizer.init(decoder_params),
+        opt_state=optimizer.init(opt_target),
     )
 
 
@@ -212,17 +227,34 @@ def make_end_task_train_step(cfg: EndTaskConfig, optimizer, mesh, train: bool = 
             out["loss/total_loss"] = total
             return total, (out, new_stats)
 
-        (_, (metrics, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.decoder_params, state.encoder_params
-        )
-        grads = lax.pmean(grads, DATA_AXIS)
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.decoder_params)
-        decoder_params = optax.apply_updates(state.decoder_params, updates)
-        encoder_batch_stats = (
-            state.encoder_batch_stats if frozen else lax.pmean(new_stats, DATA_AXIS)
-        )
+        if frozen:
+            (_, (metrics, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.decoder_params, state.encoder_params
+            )
+            grads = lax.pmean(grads, DATA_AXIS)
+            updates, opt_state = optimizer.update(grads, state.opt_state, state.decoder_params)
+            decoder_params = optax.apply_updates(state.decoder_params, updates)
+            encoder_params = state.encoder_params
+            encoder_batch_stats = state.encoder_batch_stats
+        else:
+            # fine-tune: encoder params update too (reference :83-90)
+            opt_params = {"decoder": state.decoder_params, "encoder": state.encoder_params}
+
+            def loss_combined(p):
+                return loss_fn(p["decoder"], p["encoder"])
+
+            (_, (metrics, new_stats)), grads = jax.value_and_grad(
+                loss_combined, has_aux=True
+            )(opt_params)
+            grads = lax.pmean(grads, DATA_AXIS)
+            updates, opt_state = optimizer.update(grads, state.opt_state, opt_params)
+            new_params = optax.apply_updates(opt_params, updates)
+            decoder_params = new_params["decoder"]
+            encoder_params = new_params["encoder"]
+            encoder_batch_stats = lax.pmean(new_stats, DATA_AXIS)
         new_state = state.replace(
             step=state.step + 1,
+            encoder_params=encoder_params,
             decoder_params=decoder_params,
             opt_state=opt_state,
             encoder_batch_stats=encoder_batch_stats,
