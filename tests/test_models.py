@@ -116,3 +116,28 @@ def test_efficientnet_b0_shapes():
     variables = m.init({"params": jax.random.PRNGKey(0)}, x)
     y = m.apply(variables, x, train=False)
     assert y.shape == (1, 2, 2, 1280)
+
+
+def test_s2d_stem_matches_conv7():
+    """Space-to-depth stem must be mathematically identical to the direct
+    7x7-s2 conv, with an identical param tree (checkpoint/converter compat)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from vince_tpu.models.resnet import StemConvS2D
+    import flax.linen as nn
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3), jnp.float32)
+    direct = nn.Conv(16, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                     use_bias=False, name="conv1")
+    s2d = StemConvS2D(16, name="conv1")
+    pv = direct.init(rng, x)
+    y1 = direct.apply(pv, x)
+    # same param tree → the direct conv's params drop straight in
+    assert jax.tree_util.tree_structure(pv) == jax.tree_util.tree_structure(
+        s2d.init(rng, x)
+    )
+    y2 = s2d.apply(pv, x)
+    assert y1.shape == y2.shape == (2, 32, 32, 16)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=2e-5, rtol=1e-5)

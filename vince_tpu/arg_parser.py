@@ -155,6 +155,11 @@ def build_parser() -> argparse.ArgumentParser:
         "hosts; threads are GIL-bound).",
     )
     parser.add_argument(
+        "--stem-kind", default="s2d", choices=["conv7", "s2d"],
+        help="ResNet stem: direct 7x7-s2 conv or its space-to-depth "
+        "reformulation (bit-compatible params, same math, MXU-friendlier).",
+    )
+    parser.add_argument(
         "--remat", action="store_true",
         help="Rematerialize backbone residual blocks (jax.checkpoint): trades "
         "spare MXU FLOPs for HBM activation traffic; enables larger batches.",

@@ -26,6 +26,49 @@ import jax.numpy as jnp
 ModuleDef = Any
 
 
+class StemConvS2D(nn.Module):
+    """7×7-stride-2 stem conv computed as a space-to-depth 4×4-stride-1 conv
+    (the MLPerf-ResNet TPU trick): the 3-channel input fills only 3/128 MXU
+    lanes; 2×2-blocking to 12 channels with a zero-padded 8×8 kernel is
+    mathematically identical (max |err| ~1e-6 f32) and MXU-friendlier.
+    Parameter tree matches ``nn.Conv`` ([7,7,Cin,Cout] "kernel") so torch
+    weight conversion and checkpoints are unaffected.
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (7, 7, cin, self.features),
+            jnp.float32,
+        ).astype(x.dtype)
+        # input: pad (4, 2 (+1 if odd)) each spatial dim; kernel: zero-pad 7→8
+        # at top-left so every 8×8 window starts on a 2×2 block boundary.
+        # Output length (H+6-8)/2+1 (resp. (H+7-8)/2+1) = ceil(H/2) = direct.
+        ph = 2 + x.shape[1] % 2
+        pw = 2 + x.shape[2] % 2
+        xp = jnp.pad(x, ((0, 0), (4, ph), (4, pw), (0, 0)))
+        b, h, w, c = xp.shape
+        xb = (
+            xp.reshape(b, h // 2, 2, w // 2, 2, c)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(b, h // 2, w // 2, 4 * c)
+        )
+        kp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        kb = (
+            kp.reshape(4, 2, 4, 2, cin, self.features)
+            .transpose(0, 2, 1, 3, 4, 5)
+            .reshape(4, 4, 4 * cin, self.features)
+        )
+        return jax.lax.conv_general_dilated(
+            xb, kb, (1, 1), [(0, 0), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
 class BasicBlock(nn.Module):
     """2×(3×3 conv) residual block — reference resnet.py:53-92."""
 
@@ -134,6 +177,7 @@ class ResNet(nn.Module):
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None  # set to sync BN stats across this mesh axis
     remat: bool = False  # rematerialize blocks (trade FLOPs for HBM at big batch)
+    stem_kind: str = "conv7"  # {"conv7", "s2d"} — same math, same param tree
 
     @property
     def output_channels(self) -> int:
@@ -156,14 +200,17 @@ class ResNet(nn.Module):
     def __call__(self, x, train: bool = True):
         norm = self._make_norm(train)
         x = x.astype(self.dtype)
-        x = nn.Conv(
-            self.num_filters,
-            (7, 7),
-            strides=(2, 2),
-            padding=[(3, 3), (3, 3)],
-            use_bias=False,
-            name="conv1",
-        )(x)
+        if self.stem_kind == "s2d":
+            x = StemConvS2D(self.num_filters, dtype=self.dtype, name="conv1")(x)
+        else:
+            x = nn.Conv(
+                self.num_filters,
+                (7, 7),
+                strides=(2, 2),
+                padding=[(3, 3), (3, 3)],
+                use_bias=False,
+                name="conv1",
+            )(x)
         x = norm(name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])

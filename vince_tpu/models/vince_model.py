@@ -46,6 +46,7 @@ class VinceEncoder(nn.Module):
     bn_axis_name: Optional[str] = None  # None → per-device BN stats (MoCo-style)
     norm_kind: str = "batchnorm"  # {"batchnorm", "groupnorm"}
     remat: bool = False  # rematerialize residual blocks (HBM traffic ↓, FLOPs ↑)
+    stem_kind: str = "conv7"  # "s2d" = space-to-depth stem (same math, faster)
 
     def setup(self):
         backbone_cls = get_backbone(self.backbone_name)
@@ -53,6 +54,7 @@ class VinceEncoder(nn.Module):
         if "ResNet" in self.backbone_name:
             kwargs["norm_kind"] = self.norm_kind
             kwargs["remat"] = self.remat
+            kwargs["stem_kind"] = self.stem_kind
         self.backbone = backbone_cls(
             dtype=self.dtype, axis_name=self.bn_axis_name, name="backbone", **kwargs
         )

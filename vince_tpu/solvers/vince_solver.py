@@ -149,6 +149,7 @@ class VinceSolver(BaseSolver):
             use_fused_infonce=getattr(args, "use_fused_infonce", False),
             sync_bn=getattr(args, "sync_bn", False),
             remat=getattr(args, "remat", False),
+            stem_kind=getattr(args, "stem_kind", "s2d"),
         )
         self.optimizer = self._build_optimizer()
         state = init_vince_state(jax.random.PRNGKey(getattr(args, "seed", 0)), self.cfg, self.optimizer)

@@ -91,6 +91,7 @@ class VinceConfig:
     norm_kind: str = "batchnorm"  # {"batchnorm", "groupnorm"}
     sync_bn: bool = False  # cross-chip BN stats over the data axis (vs MoCo per-device)
     remat: bool = False  # --remat: rematerialize residual blocks
+    stem_kind: str = "s2d"  # --stem-kind: space-to-depth stem (same math, faster)
 
     @property
     def total_batch(self) -> int:
@@ -129,6 +130,7 @@ def build_encoder(cfg: VinceConfig) -> VinceEncoder:
         dtype=cfg.compute_dtype,
         norm_kind=cfg.norm_kind,
         remat=cfg.remat,
+        stem_kind=cfg.stem_kind,
         bn_axis_name=DATA_AXIS if cfg.sync_bn else None,
     )
 
