@@ -15,6 +15,8 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
+from vince_tpu.models.resnet import Conv1x1
+
 # (expand_ratio, out_channels, num_repeats, stride, kernel_size) per stage
 _BASE_BLOCKS = (
     (1, 16, 1, 1, 3),
@@ -54,9 +56,9 @@ class SqueezeExcite(nn.Module):
     @nn.compact
     def __call__(self, x):
         s = jnp.mean(x, axis=(1, 2), keepdims=True)
-        s = nn.Conv(self.reduced, (1, 1), name="reduce")(s)
+        s = Conv1x1(self.reduced, use_bias=True, name="reduce")(s)
         s = nn.swish(s)
-        s = nn.Conv(x.shape[-1], (1, 1), name="expand")(s)
+        s = Conv1x1(x.shape[-1], use_bias=True, name="expand")(s)
         return x * nn.sigmoid(s)
 
 
@@ -74,7 +76,7 @@ class MBConv(nn.Module):
         y = x
         expanded = in_ch * self.expand_ratio
         if self.expand_ratio != 1:
-            y = nn.Conv(expanded, (1, 1), use_bias=False, name="expand_conv")(y)
+            y = Conv1x1(expanded, name="expand_conv")(y)
             y = self.norm(name="expand_bn")(y)
             y = nn.swish(y)
         # TF-SAME (asymmetric for stride 2) matches the reference package's
@@ -91,7 +93,7 @@ class MBConv(nn.Module):
         y = self.norm(name="depthwise_bn")(y)
         y = nn.swish(y)
         y = SqueezeExcite(max(1, int(in_ch * self.se_ratio)), name="se")(y)
-        y = nn.Conv(self.filters, (1, 1), use_bias=False, name="project_conv")(y)
+        y = Conv1x1(self.filters, name="project_conv")(y)
         y = self.norm(name="project_bn")(y)
         if self.strides == 1 and in_ch == self.filters:
             y = y + x
@@ -143,7 +145,7 @@ class EfficientNet(nn.Module):
                     name=f"block_{block_idx}",
                 )(x)
                 block_idx += 1
-        x = nn.Conv(self.output_channels, (1, 1), use_bias=False, name="head_conv")(x)
+        x = Conv1x1(self.output_channels, name="head_conv")(x)
         x = norm(name="head_bn")(x)
         return nn.swish(x)
 

@@ -69,6 +69,41 @@ class StemConvS2D(nn.Module):
         )
 
 
+class Conv1x1(nn.Module):
+    """1×1 conv emitted as ``dot_general`` instead of a convolution op.
+
+    Identical math and param tree to ``nn.Conv(features, (1,1))``, but XLA:TPU
+    fuses the BatchNorm batch-stat reductions into dot fusions while it leaves
+    them as separate (HBM-bound) passes after convolution ops — measured
+    +0.02 ms vs +0.36 ms for a stage-1-sized matmul on v5e. Strides are a
+    spatial slice (exact for a 1×1 kernel).
+    """
+
+    features: int
+    strides: int = 1
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (1, 1, x.shape[-1], self.features),
+            jnp.float32,
+        ).astype(x.dtype)
+        if self.strides != 1:
+            x = x[:, :: self.strides, :: self.strides, :]
+        y = jax.lax.dot_general(
+            x, kernel[0, 0], (((x.ndim - 1,), (0,)), ((), ()))
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            ).astype(x.dtype)
+            y = y + bias
+        return y
+
+
 class BasicBlock(nn.Module):
     """2×(3×3 conv) residual block — reference resnet.py:53-92."""
 
@@ -103,11 +138,8 @@ class BasicBlock(nn.Module):
         )(y)
         y = self.norm(name="bn2", scale_init=nn.initializers.zeros)(y)
         if self.downsample:
-            residual = nn.Conv(
-                self.filters * self.expansion,
-                (1, 1),
-                strides=(self.strides, self.strides),
-                use_bias=False,
+            residual = Conv1x1(
+                self.filters * self.expansion, strides=self.strides,
                 name="downsample_conv",
             )(residual)
             residual = self.norm(name="downsample_bn")(residual)
@@ -130,7 +162,7 @@ class Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x):
         residual = x
-        y = nn.Conv(self.filters, (1, 1), use_bias=False, name="conv1")(x)
+        y = Conv1x1(self.filters, name="conv1")(x)
         y = self.norm(name="bn1")(y)
         y = nn.relu(y)
         y = nn.Conv(
@@ -144,14 +176,11 @@ class Bottleneck(nn.Module):
         )(y)
         y = self.norm(name="bn2")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.filters * self.expansion, (1, 1), use_bias=False, name="conv3")(y)
+        y = Conv1x1(self.filters * self.expansion, name="conv3")(y)
         y = self.norm(name="bn3", scale_init=nn.initializers.zeros)(y)
         if self.downsample:
-            residual = nn.Conv(
-                self.filters * self.expansion,
-                (1, 1),
-                strides=(self.strides, self.strides),
-                use_bias=False,
+            residual = Conv1x1(
+                self.filters * self.expansion, strides=self.strides,
                 name="downsample_conv",
             )(residual)
             residual = self.norm(name="downsample_bn")(residual)
