@@ -140,3 +140,31 @@ def test_restored_queue_not_clobbered_and_fill_queue(tmp_path, cpu_devices):
     norms = np.linalg.norm(np.asarray(q.vectors), axis=1)
     np.testing.assert_allclose(norms, 1.0, atol=1e-3)
     s2.end()
+
+
+def test_npz_image_dataset_moco_training(tmp_path, cpu_devices):
+    """Single-frame MoCo on NPZ (CIFAR-shaped) files — BASELINE.json's
+    CPU-runnable debug config: train iterations are finite and the same files
+    drive the kNN probe."""
+    from vince_tpu.data.synthetic_dataset import SyntheticImageDataset
+    from vince_tpu.solvers.vince_solver import VinceSolver
+
+    seed_args = _args(tmp_path)
+    ds = SyntheticImageDataset(seed_args, "train", num_images=128, num_classes=4)
+    data, labels = ds.as_npz_arrays()
+    for subset in ("train", "val"):
+        np.savez(tmp_path / f"cifar_{subset}.npz", data=data, labels=labels)
+
+    args = _args(tmp_path, extra=[
+        "--dataset", "NPZImageDataset", "--num-frames", "1",
+    ])
+    args.use_videos = False
+    args.cifar_data_path = str(tmp_path / "cifar_{data_subset}.npz")
+    s = VinceSolver(args)
+    s.reset_epoch()
+    for _ in range(2):
+        m = s.run_train_iteration()
+    assert np.isfinite(m["loss/nce_loss"])
+    acc = s.run_cifar_knn()
+    assert acc is not None and acc > 0.3
+    s.end()

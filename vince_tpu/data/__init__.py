@@ -3,7 +3,7 @@
 framework adds for offline testing/benchmarking."""
 
 from vince_tpu.data.imagenet_dataset import ImagenetDataset, SunSceneDataset
-from vince_tpu.data.npz_dataset import NPZDataset
+from vince_tpu.data.npz_dataset import NPZDataset, NPZImageDataset
 from vince_tpu.data.r2v2_dataset import GOT10KR2V2Dataset, R2V2Dataset
 from vince_tpu.data.synthetic_dataset import (
     SyntheticClipDataset,
@@ -16,6 +16,7 @@ __all__ = [
     "ImagenetDataset",
     "Kinetics400Dataset",
     "NPZDataset",
+    "NPZImageDataset",
     "R2V2Dataset",
     "GOT10KR2V2Dataset",
     "SunSceneDataset",

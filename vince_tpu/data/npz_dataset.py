@@ -56,3 +56,47 @@ class NPZDataset:
                 chunk = np.concatenate([chunk, np.zeros((pad,) + chunk.shape[1:], np.uint8)])
                 labels = np.concatenate([labels, np.zeros((pad,), np.int32)])
             yield chunk, labels, valid
+
+
+class NPZImageDataset:
+    """Trainable image dataset over an NPZ file — the "single-frame MoCo on
+    CIFAR" CPU-runnable debug config (BASELINE.json configs[0]): items are
+    {data, queue_data} views of one image (augmented differently on device)
+    plus class labels, so the same file drives both MoCo pretraining and the
+    kNN probe. Path template comes from ``--cifar-data-path`` (or
+    ``--data-path`` if it ends in .npz)."""
+
+    def __init__(self, args, data_subset: str = "train", num_data_points=None):
+        from vince_tpu.data.base_dataset import canvas_size
+
+        path = getattr(args, "data_path", "") or ""
+        if not path.endswith(".npz"):
+            path = args.cifar_data_path
+        # reference probe files use the {train, val} subset naming
+        subset = {"test": "val"}.get(data_subset, data_subset)
+        inner = NPZDataset(args, path, subset, num_data_points)
+        c = canvas_size(getattr(args, "input_width", 224))
+        data = inner.data
+        if data.shape[1] != c or data.shape[2] != c:
+            data = np.stack(
+                [cv2.resize(im, (c, c), interpolation=cv2.INTER_LINEAR) for im in data]
+            )
+        self.data = np.ascontiguousarray(data)
+        self.labels = inner.labels
+        self.num_views = max(getattr(args, "num_frames", 1), 1)
+
+    def __len__(self):
+        return len(self.data)
+
+    def __getitem__(self, idx):
+        img = self.data[idx]
+        reps = np.repeat(img[None], self.num_views, axis=0)
+        label = np.repeat(np.int32(self.labels[idx]), self.num_views)
+        return {
+            "data": reps,
+            "queue_data": reps,
+            "labels": label,
+            "imagenet_labels": label,
+            "classifier_labels": label,
+            "ind": np.int64(idx),
+        }
