@@ -26,6 +26,13 @@ exactly that; ``m`` is returned pre-detached (the downstream combine
 
 The same math in plain XLA (``_reference_queue_logsumexp``) is used on
 non-TPU backends and in parity tests.
+
+Hardware parity (real v5e, f32 inputs): value/grad agree with the XLA path to
+~1e-4 at the production temperature τ=0.07 across (b=128, K=65536) and
+(b=256, K=4096). At very low temperatures (τ≤0.03, 33× logit amplification)
+both paths become sensitive to TPU default matmul precision (bf16 passes) and
+can diverge on near-zero gradient entries — inherent to exp(logits/τ), not a
+kernel defect; the self-batch τ=0.03 term does not go through this kernel.
 """
 
 import functools
