@@ -140,8 +140,9 @@ def build_parser() -> argparse.ArgumentParser:
         "axis when --mesh-data-size is unset (the DataParallel analog).",
     )
     parser.add_argument(
-        "--compute-dtype", default="float32", choices=["float32", "bfloat16"],
-        help="Encoder compute dtype (bfloat16 on real TPU).",
+        "--compute-dtype", default=None, choices=["float32", "bfloat16"],
+        help="Encoder compute dtype (bfloat16 on real TPU; default float32, "
+        "or bfloat16 when --use-apex is given).",
     )
     parser.add_argument(
         "--use-apex", action="store_true",
@@ -199,11 +200,17 @@ def build_parser() -> argparse.ArgumentParser:
 def finalize_args(args) -> argparse.Namespace:
     """Derived values + invariant checks (reference arg_parser.py:199-239)."""
     args.input_size = (args.input_height, args.input_width)
-    if getattr(args, "use_apex", False):
-        args.compute_dtype = "bfloat16"
-    # GPU-id list → mesh-shape hint (reference arg_parser.py:223-232 analog)
-    if args.mesh_data_size == 0 and getattr(args, "feature_extractor_gpu_ids", None):
-        args.mesh_data_size = len(str(args.feature_extractor_gpu_ids).split(","))
+    if args.compute_dtype is None:
+        # --use-apex is the reference's AMP flag; an explicit --compute-dtype
+        # always wins over it
+        args.compute_dtype = "bfloat16" if getattr(args, "use_apex", False) else "float32"
+    # GPU-id list → mesh-shape hint (reference arg_parser.py:223-232 analog);
+    # the solver clamps to the devices actually present
+    gpu_ids = getattr(args, "feature_extractor_gpu_ids", None) or getattr(
+        args, "pytorch_gpu_ids", None
+    )
+    if args.mesh_data_size == 0 and gpu_ids:
+        args.mesh_data_size = len(str(gpu_ids).split(","))
 
     # invariant asserts, reference :202-209 (note: the reference's first assert
     # message has the polarity of its condition flipped; we keep the condition)

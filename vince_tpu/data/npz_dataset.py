@@ -19,6 +19,7 @@ class NPZDataset:
         path: str,
         data_subset: str = "train",
         num_data_points: Optional[int] = None,
+        target_size: Optional[tuple] = None,  # (w, h); default = args input size
     ):
         npz = np.load(path.format(data_subset=data_subset))
         data = npz["data"]
@@ -30,7 +31,9 @@ class NPZDataset:
         assert data.ndim == 4
         if data.shape[1] == 3 and data.shape[-1] != 3:
             data = data.transpose(0, 2, 3, 1)
-        size = (getattr(args, "input_width", 224), getattr(args, "input_height", 224))
+        size = target_size or (
+            getattr(args, "input_width", 224), getattr(args, "input_height", 224)
+        )
         if data.shape[1:3] != (size[1], size[0]):
             data = np.stack(
                 [cv2.resize(im, size, interpolation=cv2.INTER_LINEAR) for im in data]
@@ -74,14 +77,9 @@ class NPZImageDataset:
             path = args.cifar_data_path
         # reference probe files use the {train, val} subset naming
         subset = {"test": "val"}.get(data_subset, data_subset)
-        inner = NPZDataset(args, path, subset, num_data_points)
         c = canvas_size(getattr(args, "input_width", 224))
-        data = inner.data
-        if data.shape[1] != c or data.shape[2] != c:
-            data = np.stack(
-                [cv2.resize(im, (c, c), interpolation=cv2.INTER_LINEAR) for im in data]
-            )
-        self.data = np.ascontiguousarray(data)
+        inner = NPZDataset(args, path, subset, num_data_points, target_size=(c, c))
+        self.data = inner.data
         self.labels = inner.labels
         self.num_views = max(getattr(args, "num_frames", 1), 1)
 

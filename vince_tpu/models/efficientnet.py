@@ -108,6 +108,7 @@ class EfficientNet(nn.Module):
     bn_epsilon: float = 1e-3
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
+    remat: bool = False  # rematerialize MBConv blocks
 
     @property
     def output_channels(self) -> int:
@@ -133,10 +134,11 @@ class EfficientNet(nn.Module):
         x = norm(name="stem_bn")(x)
         x = nn.swish(x)
         block_idx = 0
+        block_cls = nn.remat(MBConv) if self.remat else MBConv
         for expand, channels, repeats, stride, kernel in _BASE_BLOCKS:
             out_ch = round_filters(channels, width)
             for r in range(round_repeats(repeats, depth)):
-                x = MBConv(
+                x = block_cls(
                     filters=out_ch,
                     expand_ratio=expand,
                     kernel=kernel,

@@ -44,7 +44,8 @@ class StemConvS2D(nn.Module):
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (7, 7, cin, self.features),
             jnp.float32,
-        ).astype(x.dtype)
+        ).astype(self.dtype)
+        x = x.astype(self.dtype)
         # input: pad (4, 2 (+1 if odd)) each spatial dim; kernel: zero-pad 7→8
         # at top-left so every 8×8 window starts on a 2×2 block boundary.
         # Output length (H+6-8)/2+1 (resp. (H+7-8)/2+1) = ceil(H/2) = direct.

@@ -50,11 +50,10 @@ class VinceEncoder(nn.Module):
 
     def setup(self):
         backbone_cls = get_backbone(self.backbone_name)
-        kwargs = {}
+        kwargs = {"remat": self.remat}
         if "ResNet" in self.backbone_name:
             kwargs["norm_kind"] = self.norm_kind
-            kwargs["remat"] = self.remat
-            kwargs["stem_kind"] = self.stem_kind
+            kwargs["stem_kind"] = self.stem_kind  # ResNet-only (7x7 stem)
         self.backbone = backbone_cls(
             dtype=self.dtype, axis_name=self.bn_axis_name, name="backbone", **kwargs
         )

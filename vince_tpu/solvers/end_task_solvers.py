@@ -106,7 +106,7 @@ class EndTaskBaseSolver(BaseSolver):
         args = self.args
         dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
         n_dev = len(jax.devices())
-        md = getattr(args, "mesh_data_size", 0) or n_dev
+        md = max(1, min(getattr(args, "mesh_data_size", 0) or n_dev, n_dev))
         return EndTaskConfig(
             task=self.task,
             backbone=args.backbone,

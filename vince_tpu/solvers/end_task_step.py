@@ -91,18 +91,17 @@ def build_optimizer(cfg: EndTaskConfig, base_lr: float, optimizer_kind: str = "a
             return optax.chain(optax.add_decayed_weights(wd), optax.sgd(lr, momentum=0.9))
         return optax.chain(optax.add_decayed_weights(wd), optax.adam(lr))
 
+    # The optimizer always acts on {"decoder", "encoder"} so the opt_state
+    # pytree (and hence checkpoints) is independent of the freeze flag; a
+    # frozen encoder gets set_to_zero (no updates), fine-tune gets its own
+    # group at base LR + wd=1e-4 (reference end_task_base_solver.py:83-90).
+    enc_tx = optax.set_to_zero() if cfg.freeze_feature_extractor else make_tx(1.0)
     if cfg.task == "classifier":
         def head_label(k):
             return f"head{int(k.split('_')[-1])}" if k.startswith("classifier_") else "head0"
 
         txs = {f"head{i}": make_tx(s) for i, s in enumerate(cfg.head_lr_scales)}
-        if cfg.freeze_feature_extractor:
-            return optax.multi_transform(
-                txs, lambda params: {k: head_label(k) for k in params}
-            )
-        # fine-tune: encoder joins as its own group at base LR, wd=1e-4
-        # (reference end_task_base_solver.py:83-90)
-        txs["encoder"] = make_tx(1.0)
+        txs["encoder"] = enc_tx
         return optax.multi_transform(
             txs,
             lambda params: {
@@ -110,7 +109,10 @@ def build_optimizer(cfg: EndTaskConfig, base_lr: float, optimizer_kind: str = "a
                 "encoder": "encoder",
             },
         )
-    return make_tx(1.0)
+    return optax.multi_transform(
+        {"decoder": make_tx(1.0), "encoder": enc_tx},
+        lambda params: {"decoder": "decoder", "encoder": "encoder"},
+    )
 
 
 def init_end_task_state(
@@ -144,11 +146,7 @@ def init_end_task_state(
         xf = jnp.zeros((2, s, s, out_ch), cfg.compute_dtype)
         dvars = decoder.init({"params": d_rng}, zf, xf)
     decoder_params = dvars["params"]
-    opt_target = (
-        decoder_params
-        if cfg.freeze_feature_extractor
-        else {"decoder": decoder_params, "encoder": encoder_params}
-    )
+    opt_target = {"decoder": decoder_params, "encoder": encoder_params}
     return EndTaskState(
         step=jnp.zeros((), jnp.int32),
         encoder_params=encoder_params,
@@ -227,31 +225,24 @@ def make_end_task_train_step(cfg: EndTaskConfig, optimizer, mesh, train: bool = 
             out["loss/total_loss"] = total
             return total, (out, new_stats)
 
-        if frozen:
-            (_, (metrics, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.decoder_params, state.encoder_params
-            )
-            grads = lax.pmean(grads, DATA_AXIS)
-            updates, opt_state = optimizer.update(grads, state.opt_state, state.decoder_params)
-            decoder_params = optax.apply_updates(state.decoder_params, updates)
-            encoder_params = state.encoder_params
-            encoder_batch_stats = state.encoder_batch_stats
-        else:
-            # fine-tune: encoder params update too (reference :83-90)
-            opt_params = {"decoder": state.decoder_params, "encoder": state.encoder_params}
+        # one combined-tree path; a frozen encoder sees stop_gradient'd
+        # features (zero grads) and a set_to_zero optimizer group
+        opt_params = {"decoder": state.decoder_params, "encoder": state.encoder_params}
 
-            def loss_combined(p):
-                return loss_fn(p["decoder"], p["encoder"])
+        def loss_combined(p):
+            return loss_fn(p["decoder"], p["encoder"])
 
-            (_, (metrics, new_stats)), grads = jax.value_and_grad(
-                loss_combined, has_aux=True
-            )(opt_params)
-            grads = lax.pmean(grads, DATA_AXIS)
-            updates, opt_state = optimizer.update(grads, state.opt_state, opt_params)
-            new_params = optax.apply_updates(opt_params, updates)
-            decoder_params = new_params["decoder"]
-            encoder_params = new_params["encoder"]
-            encoder_batch_stats = lax.pmean(new_stats, DATA_AXIS)
+        (_, (metrics, new_stats)), grads = jax.value_and_grad(
+            loss_combined, has_aux=True
+        )(opt_params)
+        grads = lax.pmean(grads, DATA_AXIS)
+        updates, opt_state = optimizer.update(grads, state.opt_state, opt_params)
+        new_params = optax.apply_updates(opt_params, updates)
+        decoder_params = new_params["decoder"]
+        encoder_params = new_params["encoder"]
+        encoder_batch_stats = (
+            state.encoder_batch_stats if frozen else lax.pmean(new_stats, DATA_AXIS)
+        )
         new_state = state.replace(
             step=state.step + 1,
             encoder_params=encoder_params,

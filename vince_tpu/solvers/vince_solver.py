@@ -126,7 +126,10 @@ class VinceSolver(BaseSolver):
         args = self.args
         n_dev = len(jax.devices())
         mq = max(getattr(args, "mesh_queue_size", 1), 1)
+        # clamp to the devices actually present (GPU-id compat hints may ask
+        # for an 8-way mesh on a 1-chip host)
         md = getattr(args, "mesh_data_size", 0) or (n_dev // mq)
+        md = max(1, min(md, n_dev // mq))
         self.mesh = make_mesh(MeshSpec(data_axis_size=md, queue_axis_size=mq))
         dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
         self.cfg = VinceConfig(
