@@ -115,3 +115,51 @@ def test_vince_checkpoint_conversion():
     np.testing.assert_array_equal(
         np.asarray(params["embedding"]["fc1"]["kernel"]), sd["embedding.0.weight"].T
     )
+
+
+def test_vince_checkpoint_conversion_efficientnet_backbone():
+    """convert_vince_state_dict must route `_conv_stem`/`_blocks` keys through
+    the EfficientNet converter (reference VinceModel with an EfficientNet
+    backbone, backbone_models.py:92-124)."""
+    import numpy as np
+    from vince_tpu.utils.torch_convert import convert_vince_state_dict
+
+    rng = np.random.RandomState(0)
+    pre = "feature_extractor.module.model."
+    sd = {
+        pre + "_conv_stem.weight": rng.randn(32, 3, 3, 3).astype(np.float32),
+        pre + "_bn0.weight": np.ones(32, np.float32),
+        pre + "_bn0.bias": np.zeros(32, np.float32),
+        pre + "_bn0.running_mean": np.zeros(32, np.float32),
+        pre + "_bn0.running_var": np.ones(32, np.float32),
+        pre + "_blocks.0._depthwise_conv.weight": rng.randn(32, 1, 3, 3).astype(np.float32),
+        pre + "_blocks.0._bn1.weight": np.ones(32, np.float32),
+        pre + "_blocks.0._bn1.bias": np.zeros(32, np.float32),
+        pre + "_blocks.0._bn1.running_mean": np.zeros(32, np.float32),
+        pre + "_blocks.0._bn1.running_var": np.ones(32, np.float32),
+        pre + "_blocks.0._se_reduce.weight": rng.randn(8, 32, 1, 1).astype(np.float32),
+        pre + "_blocks.0._se_reduce.bias": np.zeros(8, np.float32),
+        pre + "_blocks.0._se_expand.weight": rng.randn(32, 8, 1, 1).astype(np.float32),
+        pre + "_blocks.0._se_expand.bias": np.zeros(32, np.float32),
+        pre + "_blocks.0._project_conv.weight": rng.randn(16, 32, 1, 1).astype(np.float32),
+        pre + "_blocks.0._bn2.weight": np.ones(16, np.float32),
+        pre + "_blocks.0._bn2.bias": np.zeros(16, np.float32),
+        pre + "_blocks.0._bn2.running_mean": np.zeros(16, np.float32),
+        pre + "_blocks.0._bn2.running_var": np.ones(16, np.float32),
+        "embedding.0.weight": rng.randn(64, 1280).astype(np.float32),
+        "embedding.0.bias": np.zeros(64, np.float32),
+        "embedding.2.weight": rng.randn(64, 64).astype(np.float32),
+    }
+    params, stats = convert_vince_state_dict(sd)
+    bb = params["backbone"]
+    assert bb["stem_conv"]["kernel"].shape == (3, 3, 3, 32)
+    assert bb["block_0"]["depthwise_conv"]["kernel"].shape == (3, 3, 1, 32)
+    assert bb["block_0"]["se"]["reduce"]["kernel"].shape == (1, 1, 32, 8)
+    assert bb["block_0"]["project_conv"]["kernel"].shape == (1, 1, 32, 16)
+    assert stats["backbone"]["stem_bn"]["mean"].shape == (32,)
+    assert stats["backbone"]["block_0"]["project_bn"]["var"].shape == (16,)
+    assert params["embedding"]["fc1"]["kernel"].shape == (1280, 64)
+    np.testing.assert_array_equal(
+        bb["stem_conv"]["kernel"],
+        sd[pre + "_conv_stem.weight"].transpose(2, 3, 1, 0),
+    )
