@@ -171,3 +171,37 @@ def test_finetune_updates_encoder(tmp_path, cpu_devices):
     s2.run_train_iteration()
     np.testing.assert_array_equal(before2, leaf0(s2.state.encoder_params))
     s2.end()
+
+
+def test_end_task_restores_pretrain_encoder(tmp_path, cpu_devices):
+    """The end-task encoder must come from the VINCE pretrain checkpoint
+    (reference setup_feature_extractor, end_task_base_solver.py:112-129),
+    found via --checkpoint-dir / the shared title+description convention."""
+    import jax
+    from vince_tpu.solvers.end_task_solvers import EndTaskSunSceneSolver
+    from vince_tpu.solvers.vince_solver import VinceSolver
+    from tests.test_solver_e2e import _args as vince_args
+
+    # 1 pretrain step + save (title/description shared with the end task)
+    pargs = vince_args(tmp_path, extra=["--no-restore", "--vince-embedding-size", "16"])
+    pargs.save = True
+    pre = VinceSolver(pargs)
+    pre.reset_epoch()
+    pre.run_train_iteration()
+    pre.save()
+    pre_backbone = jax.tree_util.tree_map(np.asarray, pre.state.params["backbone"])
+    pre.end()
+
+    eargs = _args(tmp_path, [
+        "--dataset", "SyntheticImageDataset",
+        "--title", "test", "--description", "e2e",  # match the pretrain run
+        "--vince-embedding-size", "16",
+    ])
+    eargs.restore = True  # _args defaults to --no-restore
+    s = EndTaskSunSceneSolver(eargs)
+    got = s.state.encoder_params["backbone"]
+    for a, b in zip(
+        jax.tree_util.tree_leaves(pre_backbone), jax.tree_util.tree_leaves(got)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    s.end()

@@ -76,8 +76,10 @@ class EndTaskBaseSolver(BaseSolver):
     # ----------------------------------------------------------------- model
     def _pretrain_checkpoint_dir(self) -> str:
         # reference setup_feature_extractor (:112-129): pretrain checkpoints
-        # live under the same title/description as the VinceSolver run
-        return os.path.join(
+        # live under the same title/description as the VinceSolver run;
+        # args.checkpoint_dir defaults to exactly that derivation and honors
+        # an explicit --checkpoint-dir (e.g. converted reference weights)
+        return self.args.checkpoint_dir or os.path.join(
             self.args.base_logdir, self.args.title, "checkpoints_" + self.args.description
         )
 
