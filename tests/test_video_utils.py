@@ -74,3 +74,46 @@ def test_iou_and_boxes():
     b = xywh_to_xyxy(np.array([5, 5, 10, 10]))
     assert abs(iou_xyxy(a, b) - 25.0 / 175.0) < 1e-6
     assert iou_xyxy(a, a) == 1.0
+
+
+def test_cache_driver_failed_id_persistence(tmp_path, monkeypatch):
+    """The cache driver must skip known-failed/cached ids on rerun and append
+    new failures to the id files (reference cache_video_dataset.py:39-65,
+    SURVEY §5.3 fault handling)."""
+    import vince_tpu.scrape.cache_video_dataset as mod
+
+    csv_path = tmp_path / "ids.csv"
+    csv_path.write_text("vidA\nvidB\nvidC\nvidD\n")
+    out = tmp_path / "cache"
+    out.mkdir()
+    (out / "failed_video_ids.txt").write_text("vidA\n")
+    # simulate an already-cached video: shard dir "vi" with frames of vidB
+    (out / "vi").mkdir()
+    (out / "vi" / "vidB_000001.jpg").write_bytes(b"")
+
+    seen = []
+
+    class FakeCacher:
+        def __init__(self, args, ids, output, **kw):
+            self.ids = list(ids)
+
+        def __len__(self):
+            return len(self.ids)
+
+        def __getitem__(self, i):
+            seen.append(self.ids[i])
+            # vidC "downloads" fine, vidD fails
+            return (self.ids[i], 0 if self.ids[i] == "vidC" else 1)
+
+    monkeypatch.setattr(mod, "VideoCacherDataset", FakeCacher)
+    mod.main([
+        "--csv-path", str(csv_path), "--output-path", str(out), "--num-workers", "2",
+    ])
+    assert sorted(seen) == ["vidC", "vidD"]  # vidA (failed) + vidB (cached) skipped
+    failed = (out / "failed_video_ids.txt").read_text().split()
+    assert failed == ["vidA", "vidD"]  # appended, not overwritten
+
+    # rerun: nothing left to do
+    seen.clear()
+    mod.main(["--csv-path", str(csv_path), "--output-path", str(out)])
+    assert seen == ["vidC"] or seen == []  # vidC cached only if it wrote files — driver skips by dir scan
