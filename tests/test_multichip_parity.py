@@ -78,3 +78,46 @@ def test_queue_state_global_consistency_across_mesh(cpu_devices):
     # inserted rows are unit-norm on both meshes
     np.testing.assert_allclose(norm_sets[0], 1.0, atol=1e-3)
     np.testing.assert_allclose(norm_sets[1], 1.0, atol=1e-3)
+
+
+def test_sync_bn_matches_single_device_stats(cpu_devices):
+    """--sync-bn: BN batch statistics psum'd over the data axis must equal the
+    single-device global-batch statistics for the same images (with per-device
+    stats this equality would NOT hold). Exercises the encoder directly — the
+    train step's augmentation RNG is per-device by design."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from vince_tpu.models.vince_model import VinceEncoder
+    from vince_tpu.parallel.mesh import DATA_AXIS
+
+    rng = np.random.RandomState(3)
+    images = jnp.asarray(rng.randn(16, 32, 32, 3).astype(np.float32))
+
+    ref_model = VinceEncoder(backbone_name="ResNet18", embed_size=16)
+    variables = ref_model.init({"params": jax.random.PRNGKey(0)}, images)
+    ref_out, ref_mut = ref_model.apply(variables, images, train=True, mutable=["batch_stats"])
+
+    sync_model = VinceEncoder(backbone_name="ResNet18", embed_size=16,
+                              bn_axis_name=DATA_AXIS)
+    mesh = make_mesh(MeshSpec(4, 1))
+
+    def local_apply(params, stats, imgs):
+        out, mut = sync_model.apply(
+            {"params": params, "batch_stats": stats}, imgs, train=True,
+            mutable=["batch_stats"],
+        )
+        return out["embeddings"], mut["batch_stats"]
+
+    fn = jax.jit(jax.shard_map(
+        local_apply, mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS)),
+        out_specs=(P(DATA_AXIS), P()),
+        check_vma=False,
+    ))
+    emb, stats = fn(variables["params"], variables["batch_stats"], images)
+
+    for a, b in zip(jax.tree_util.tree_leaves(ref_mut["batch_stats"]),
+                    jax.tree_util.tree_leaves(stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(emb), np.asarray(ref_out["embeddings"]), rtol=1e-3, atol=1e-4
+    )
