@@ -141,3 +141,116 @@ def test_s2d_stem_matches_conv7():
     y2 = s2d.apply(pv, x)
     assert y1.shape == y2.shape == (2, 32, 32, 16)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["expand", "all"])
+def test_bn_fold_matches_unfolded(mode):
+    """Derived-stat BN folding (resnet.folded_dot_bn) must be mathematically
+    identical to Conv1x1+BatchNorm: same param tree, same train/eval forward,
+    same gradients, same running-stat updates (it is the same function of the
+    same parameters, reformulated to avoid the pre-norm HBM round trip)."""
+    base = resnet.ResNet50(bn_momentum=0.9)
+    folded = resnet.ResNet50(bn_momentum=0.9, bn_fold=mode)
+    # 64² input / batch 4 keeps layer4's per-channel stats non-degenerate
+    # (at 32² the last stage sees n=2 rows and BN γ-grads of near-constant
+    # channels are f32 cancellation noise in BOTH paths)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 64, 64, 3), jnp.float32)
+    variables = base.init({"params": jax.random.PRNGKey(0)}, x, train=True)
+    assert jax.tree_util.tree_structure(
+        folded.init({"params": jax.random.PRNGKey(0)}, x, train=True)
+    ) == jax.tree_util.tree_structure(variables)
+
+    # train-mode forward + batch_stats updates. Tolerance note: at
+    # near-constant channels the *unfolded* path's E[y²]−μ² var is f32
+    # cancellation noise amplified by rsqrt — the folded path's centered
+    # quadratic form is the more accurate of the two; a ~0.2% tail of
+    # elements differing by ~1e-3 is inherent, not a folding error.
+    y1, m1 = base.apply(variables, x, train=True, mutable=["batch_stats"])
+    y2, m2 = folded.apply(variables, x, train=True, mutable=["batch_stats"])
+    d = np.abs(np.asarray(y1) - np.asarray(y2))
+    assert d.max() < 5e-3 and d.mean() < 1e-4, (d.max(), d.mean())
+    for (p1, s1), (p2, s2) in zip(
+        jax.tree_util.tree_leaves_with_path(m1["batch_stats"]),
+        jax.tree_util.tree_leaves_with_path(m2["batch_stats"]),
+    ):
+        assert p1 == p2
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-3, rtol=1e-2)
+
+    # gradients (exact BN gradients — same function, reformulated)
+    def loss(model, params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, train=True, mutable=["batch_stats"],
+        )
+        return (out.astype(jnp.float32) ** 2).mean()
+
+    g1 = jax.grad(lambda p: loss(base, p))(variables["params"])
+    g2 = jax.grad(lambda p: loss(folded, p))(variables["params"])
+    for (p1, a), (p2, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g1),
+        jax.tree_util.tree_leaves_with_path(g2),
+    ):
+        assert p1 == p2
+        scale = max(float(np.max(np.abs(np.asarray(a)))), 1e-6)
+        dg = np.abs(np.asarray(a) - np.asarray(b)) / scale
+        assert dg.max() < 2e-2 and dg.mean() < 1e-3, (str(p1), dg.max(), dg.mean())
+
+    # eval mode (classic inference folding from running stats)
+    e1 = base.apply(variables, x, train=False)
+    e2 = folded.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=1e-3, rtol=1e-3)
+
+
+def test_folded_dot_bn_single_layer_exact():
+    """One folded layer vs Conv1x1+BatchNorm on well-conditioned input:
+    f32-tight parity (the full-network test tolerates only the unfolded
+    path's own variance-cancellation noise)."""
+    import flax.linen as nn
+    from vince_tpu.models.resnet import Conv1x1, FoldCfg, folded_dot_bn
+
+    class Unfolded(nn.Module):
+        @nn.compact
+        def __call__(self, x, res):
+            y = Conv1x1(96, name="c")(x)
+            y = nn.BatchNorm(
+                use_running_average=False, momentum=0.9, epsilon=1e-5, name="b"
+            )(y)
+            return nn.relu(y + res)
+
+    class Folded(nn.Module):
+        @nn.compact
+        def __call__(self, x, res):
+            cfg = FoldCfg(True, 0.9, 1e-5, jnp.float32, None)
+            return folded_dot_bn(
+                x, 96, cfg, conv_name="c", bn_name="b", relu=True, residual=res
+            )
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (4, 8, 8, 48), jnp.float32)
+    res = jax.random.normal(jax.random.PRNGKey(4), (4, 8, 8, 96), jnp.float32)
+    variables = Unfolded().init({"params": jax.random.PRNGKey(0)}, x, res)
+    assert jax.tree_util.tree_structure(
+        Folded().init({"params": jax.random.PRNGKey(0)}, x, res)
+    ) == jax.tree_util.tree_structure(variables)
+    y1, m1 = Unfolded().apply(variables, x, res, mutable=["batch_stats"])
+    y2, m2 = Folded().apply(variables, x, res, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(m1["batch_stats"]["b"]["var"]),
+        np.asarray(m2["batch_stats"]["b"]["var"]), atol=1e-5, rtol=1e-4,
+    )
+
+    def loss(model, params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, res, mutable=["batch_stats"],
+        )
+        return (out ** 2).mean()
+
+    g1 = jax.grad(lambda p: loss(Unfolded(), p))(variables["params"])
+    g2 = jax.grad(lambda p: loss(Folded(), p))(variables["params"])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4
+        ),
+        g1, g2,
+    )

@@ -28,6 +28,7 @@ cfg = VinceConfig(
     backbone=BACKBONE, embed_size=128, image_size=IMAGE, queue_size=65536,
     compute_dtype=jnp.bfloat16, data_axis_size=1, queue_axis_size=1,
     shuffle_bn=True,
+    bn_fold=os.environ.get("PROF_BN_FOLD", "none"),
 )
 mesh = make_mesh(MeshSpec(1, 1))
 opt = optax.chain(optax.add_decayed_weights(1e-4), optax.sgd(0.03, momentum=0.9))

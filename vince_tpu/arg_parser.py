@@ -161,6 +161,13 @@ def build_parser() -> argparse.ArgumentParser:
         "reformulation (bit-compatible params, same math, MXU-friendlier).",
     )
     parser.add_argument(
+        "--bn-fold", default="expand", choices=["none", "expand", "all"],
+        help="Fold BatchNorm into the ResNet 1x1 dots using batch statistics "
+        "derived from input moments (same math, same param tree; removes the "
+        "pre-norm HBM round trip). 'expand' folds conv3+downsample, 'all' "
+        "also folds the channel-reducing conv1.",
+    )
+    parser.add_argument(
         "--remat", action="store_true",
         help="Rematerialize backbone residual blocks (jax.checkpoint): trades "
         "spare MXU FLOPs for HBM activation traffic; enables larger batches.",

@@ -17,13 +17,24 @@ TPU-first choices (not translations):
 """
 
 import functools
-from typing import Any, Optional, Sequence, Tuple
+import math
+from typing import Any, NamedTuple, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 ModuleDef = Any
+
+
+class FoldCfg(NamedTuple):
+    """Config bundle for derived-stat BN folding (see ``folded_dot_bn``)."""
+
+    train: bool
+    momentum: float
+    epsilon: float
+    dtype: Any
+    axis_name: Optional[str]
 
 
 class StemConvS2D(nn.Module):
@@ -105,6 +116,125 @@ class Conv1x1(nn.Module):
         return y
 
 
+class _ConvKernelParam(nn.Module):
+    """Bare param holder matching ``Conv1x1``'s tree ([1,1,Cin,Cout] "kernel")
+    so folded and unfolded paths share checkpoints bit-for-bit."""
+
+    shape: Tuple[int, int, int, int]
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(), self.shape, jnp.float32
+        )
+
+
+class _BNStateParam(nn.Module):
+    """Param/batch_stats holder matching ``nn.BatchNorm``'s tree
+    (params scale/bias; batch_stats mean/var) for the folded path.
+
+    In train mode it receives externally derived batch statistics, updates the
+    running averages exactly like flax BatchNorm (new = m*old + (1-m)*batch,
+    biased batch var), and returns (scale, bias). In eval mode it returns the
+    running statistics for classic inference folding.
+    """
+
+    features: int
+    momentum: float
+    scale_init: Any = nn.initializers.ones
+
+    @nn.compact
+    def __call__(self, batch_mean: Optional[jax.Array], batch_var: Optional[jax.Array]):
+        scale = self.param("scale", self.scale_init, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32)
+        )
+        if batch_mean is None:  # eval: use running averages
+            return scale, bias, ra_mean.value, ra_var.value
+        if not self.is_initializing():
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value + (1.0 - m) * batch_mean
+            ra_var.value = m * ra_var.value + (1.0 - m) * batch_var
+        return scale, bias, batch_mean, batch_var
+
+
+def folded_dot_bn(
+    x: jax.Array,
+    features: int,
+    cfg: FoldCfg,
+    *,
+    conv_name: str,
+    bn_name: str,
+    strides: int = 1,
+    relu: bool = False,
+    residual: Optional[jax.Array] = None,
+    scale_init: Any = nn.initializers.ones,
+) -> jax.Array:
+    """1×1-conv + BatchNorm (+residual, +ReLU) with the BN batch statistics
+    *derived from the input's moments* and folded into the dot weights.
+
+    For y = x@W (1×1 conv), the per-channel batch stats of y are exact
+    functions of x's first/second moments: μ_y = (Σx)@W / n and
+    E[y²] = diag(Wᵀ(xᵀx)W) / n, so BN(y)·γ+β = x@(W·a) + b with
+    a = γ·rsqrt(var+ε), b = β − μ_y·a. This removes the pre-norm activation's
+    HBM write+read (the reference-path BN barrier) in forward *and* backward —
+    the dominant traffic for bottleneck 1×1 expansions — at the cost of one
+    small xᵀx dot (n·Cin² FLOPs vs n·Cin·Cout for the main dot). Same math as
+    ``Conv1x1`` + ``nn.BatchNorm`` (reference ``resnet.py:95-137`` semantics):
+    f32-exact to ~1e-6; autodiff gradients are the exact BN gradients because
+    the function is identical. Param tree matches the unfolded path.
+
+    With ``cfg.axis_name`` set, moments are psum'd across the mesh axis —
+    sync-BN at [Cin]+[Cin,Cin] communication cost.
+    """
+    cin = x.shape[-1]
+    kernel = _ConvKernelParam((1, 1, cin, features), name=conv_name)()
+    w = kernel[0, 0]  # [Cin, Cout] f32
+    if strides != 1:
+        x = x[:, ::strides, ::strides, :]
+    batch_dims = tuple(range(x.ndim - 1))
+    bn = _BNStateParam(features, cfg.momentum, scale_init=scale_init, name=bn_name)
+    if cfg.train:
+        # Uncentered moments, straight off the bf16 activations: centering
+        # first would materialize an f32 copy of x (dots read materialized
+        # operands — producer fusion doesn't cross a dot boundary), costing
+        # more HBM traffic than the fold saves. E[y²]−μ² matches flax
+        # BatchNorm's own formulation (same cancellation behavior; the eps
+        # floor covers near-constant channels either way). All dots run on
+        # the 4D tensor (multi-dim contractions) — no reshapes to [rows, C],
+        # which XLA:TPU materializes as real copies.
+        n = jnp.asarray(math.prod(x.shape[d] for d in batch_dims), jnp.float32)
+        s1 = jnp.sum(x, axis=batch_dims, dtype=jnp.float32)
+        s2 = jax.lax.dot_general(
+            x, x, ((batch_dims, batch_dims), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if cfg.axis_name is not None:
+            s1 = jax.lax.psum(s1, cfg.axis_name)
+            s2 = jax.lax.psum(s2, cfg.axis_name)
+            n = n * jax.lax.psum(1, cfg.axis_name)
+        mu = (s1 / n) @ w
+        var = jnp.maximum(jnp.sum((s2 @ w) * w, axis=0) / n - mu * mu, 0.0)
+        scale, bias, mu, var = bn(mu, var)
+    else:
+        scale, bias, mu, var = bn(None, None)
+    a = scale * jax.lax.rsqrt(var + cfg.epsilon)
+    b = (bias - mu * a).astype(cfg.dtype)
+    y = jax.lax.dot_general(
+        x.astype(cfg.dtype),
+        (w * a[None, :]).astype(cfg.dtype),
+        (((x.ndim - 1,), (0,)), ((), ())),
+    )
+    y = y + b
+    if residual is not None:
+        y = y + residual
+    return nn.relu(y) if relu else y
+
+
 class BasicBlock(nn.Module):
     """2×(3×3 conv) residual block — reference resnet.py:53-92."""
 
@@ -114,6 +244,8 @@ class BasicBlock(nn.Module):
     dilation: int = 1
     downsample: bool = False
     expansion: int = 1
+    fold_cfg: Optional[FoldCfg] = None  # derived-stat BN folding for 1×1 convs
+    fold_all: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -139,11 +271,18 @@ class BasicBlock(nn.Module):
         )(y)
         y = self.norm(name="bn2", scale_init=nn.initializers.zeros)(y)
         if self.downsample:
-            residual = Conv1x1(
-                self.filters * self.expansion, strides=self.strides,
-                name="downsample_conv",
-            )(residual)
-            residual = self.norm(name="downsample_bn")(residual)
+            if self.fold_cfg is not None:
+                residual = folded_dot_bn(
+                    residual, self.filters * self.expansion, self.fold_cfg,
+                    strides=self.strides,
+                    conv_name="downsample_conv", bn_name="downsample_bn",
+                )
+            else:
+                residual = Conv1x1(
+                    self.filters * self.expansion, strides=self.strides,
+                    name="downsample_conv",
+                )(residual)
+                residual = self.norm(name="downsample_bn")(residual)
         return nn.relu(y + residual)
 
 
@@ -159,13 +298,21 @@ class Bottleneck(nn.Module):
     dilation: int = 1
     downsample: bool = False
     expansion: int = 4
+    fold_cfg: Optional[FoldCfg] = None  # derived-stat BN folding for 1×1 convs
+    fold_all: bool = False  # also fold conv1 (the channel-reducing 1×1)
 
     @nn.compact
     def __call__(self, x):
         residual = x
-        y = Conv1x1(self.filters, name="conv1")(x)
-        y = self.norm(name="bn1")(y)
-        y = nn.relu(y)
+        if self.fold_cfg is not None and self.fold_all:
+            y = folded_dot_bn(
+                x, self.filters, self.fold_cfg,
+                conv_name="conv1", bn_name="bn1", relu=True,
+            )
+        else:
+            y = Conv1x1(self.filters, name="conv1")(x)
+            y = self.norm(name="bn1")(y)
+            y = nn.relu(y)
         y = nn.Conv(
             self.filters,
             (3, 3),
@@ -177,6 +324,19 @@ class Bottleneck(nn.Module):
         )(y)
         y = self.norm(name="bn2")(y)
         y = nn.relu(y)
+        if self.fold_cfg is not None:
+            if self.downsample:
+                residual = folded_dot_bn(
+                    residual, self.filters * self.expansion, self.fold_cfg,
+                    strides=self.strides,
+                    conv_name="downsample_conv", bn_name="downsample_bn",
+                )
+            return folded_dot_bn(
+                y, self.filters * self.expansion, self.fold_cfg,
+                conv_name="conv3", bn_name="bn3",
+                relu=True, residual=residual,
+                scale_init=nn.initializers.zeros,
+            )
         y = Conv1x1(self.filters * self.expansion, name="conv3")(y)
         y = self.norm(name="bn3", scale_init=nn.initializers.zeros)(y)
         if self.downsample:
@@ -208,6 +368,9 @@ class ResNet(nn.Module):
     axis_name: Optional[str] = None  # set to sync BN stats across this mesh axis
     remat: bool = False  # rematerialize blocks (trade FLOPs for HBM at big batch)
     stem_kind: str = "conv7"  # {"conv7", "s2d"} — same math, same param tree
+    # {"none", "expand", "all"}: fold BN into 1×1 dots via derived batch stats
+    # (same math, same param tree; "expand" = conv3+downsample, "all" = +conv1)
+    bn_fold: str = "none"
 
     @property
     def output_channels(self) -> int:
@@ -229,6 +392,15 @@ class ResNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         norm = self._make_norm(train)
+        fold_cfg = None
+        if self.bn_fold != "none" and self.norm_kind == "batchnorm":
+            fold_cfg = FoldCfg(
+                train=train,
+                momentum=self.bn_momentum,
+                epsilon=self.bn_epsilon,
+                dtype=self.dtype,
+                axis_name=self.axis_name if train else None,
+            )
         x = x.astype(self.dtype)
         if self.stem_kind == "s2d":
             x = StemConvS2D(self.num_filters, dtype=self.dtype, name="conv1")(x)
@@ -265,6 +437,8 @@ class ResNet(nn.Module):
                     strides=s,
                     dilation=dilation,
                     downsample=needs_down,
+                    fold_cfg=fold_cfg,
+                    fold_all=self.bn_fold == "all",
                     name=f"layer{stage + 1}_{block}",
                 )(x)
         return x

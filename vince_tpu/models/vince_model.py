@@ -47,6 +47,9 @@ class VinceEncoder(nn.Module):
     norm_kind: str = "batchnorm"  # {"batchnorm", "groupnorm"}
     remat: bool = False  # rematerialize residual blocks (HBM traffic ↓, FLOPs ↑)
     stem_kind: str = "conv7"  # "s2d" = space-to-depth stem (same math, faster)
+    # {"none","expand","all"}: fold BN batch stats into the 1×1 dots via
+    # derived input moments (same math/params; kills the pre-norm HBM trip)
+    bn_fold: str = "none"
 
     def setup(self):
         backbone_cls = get_backbone(self.backbone_name)
@@ -54,6 +57,7 @@ class VinceEncoder(nn.Module):
         if "ResNet" in self.backbone_name:
             kwargs["norm_kind"] = self.norm_kind
             kwargs["stem_kind"] = self.stem_kind  # ResNet-only (7x7 stem)
+            kwargs["bn_fold"] = self.bn_fold  # ResNet-only (1×1-dot BN folding)
         self.backbone = backbone_cls(
             dtype=self.dtype, axis_name=self.bn_axis_name, name="backbone", **kwargs
         )

@@ -153,6 +153,7 @@ class VinceSolver(BaseSolver):
             sync_bn=getattr(args, "sync_bn", False),
             remat=getattr(args, "remat", False),
             stem_kind=getattr(args, "stem_kind", "s2d"),
+            bn_fold=getattr(args, "bn_fold", "expand"),
         )
         self.optimizer = self._build_optimizer()
         state = init_vince_state(jax.random.PRNGKey(getattr(args, "seed", 0)), self.cfg, self.optimizer)

@@ -92,6 +92,10 @@ class VinceConfig:
     sync_bn: bool = False  # cross-chip BN stats over the data axis (vs MoCo per-device)
     remat: bool = False  # --remat: rematerialize residual blocks
     stem_kind: str = "s2d"  # --stem-kind: space-to-depth stem (same math, faster)
+    # --bn-fold: derived-stat BN folding for the 1×1 dots. "expand" (conv3 +
+    # downsample) is the measured optimum on v5e (70.7→64.4 ms R50 step);
+    # "all" also folds conv1 but its xᵀx is 4× the main dot's FLOPs — slower.
+    bn_fold: str = "expand"
 
     @property
     def total_batch(self) -> int:
@@ -131,6 +135,7 @@ def build_encoder(cfg: VinceConfig) -> VinceEncoder:
         norm_kind=cfg.norm_kind,
         remat=cfg.remat,
         stem_kind=cfg.stem_kind,
+        bn_fold=cfg.bn_fold,
         bn_axis_name=DATA_AXIS if cfg.sync_bn else None,
     )
 
