@@ -160,11 +160,11 @@ def test_bn_fold_matches_unfolded(mode):
         folded.init({"params": jax.random.PRNGKey(0)}, x, train=True)
     ) == jax.tree_util.tree_structure(variables)
 
-    # train-mode forward + batch_stats updates. Tolerance note: at
-    # near-constant channels the *unfolded* path's E[y²]−μ² var is f32
-    # cancellation noise amplified by rsqrt — the folded path's centered
-    # quadratic form is the more accurate of the two; a ~0.2% tail of
-    # elements differing by ~1e-3 is inherent, not a folding error.
+    # train-mode forward + batch_stats updates. Tolerance note: both paths
+    # compute var as E[y²]−μ² in f32 (flax's own formulation) by different
+    # reduction orders; at near-constant channels that difference is
+    # cancellation noise amplified by rsqrt — a thin tail of elements
+    # differing by ~1e-3 is inherent, not a folding error.
     y1, m1 = base.apply(variables, x, train=True, mutable=["batch_stats"])
     y2, m2 = folded.apply(variables, x, train=True, mutable=["batch_stats"])
     d = np.abs(np.asarray(y1) - np.asarray(y2))
@@ -222,7 +222,7 @@ def test_folded_dot_bn_single_layer_exact():
         def __call__(self, x, res):
             cfg = FoldCfg(True, 0.9, 1e-5, jnp.float32, None)
             return folded_dot_bn(
-                x, 96, cfg, conv_name="c", bn_name="b", relu=True, residual=res
+                x, 96, cfg, conv_name="c", bn_name="b", act=nn.relu, residual=res
             )
 
     x = jax.random.normal(jax.random.PRNGKey(3), (4, 8, 8, 48), jnp.float32)
@@ -254,3 +254,24 @@ def test_folded_dot_bn_single_layer_exact():
         ),
         g1, g2,
     )
+
+
+def test_efficientnet_bn_fold_matches_unfolded():
+    """EfficientNet expand/head BN folding parity (expand_conv + head_conv
+    are the Cin<Cout dots where derived-stat folding pays)."""
+    from vince_tpu.models import efficientnet
+
+    base = efficientnet.EfficientNetB0()
+    folded = efficientnet.EfficientNetB0(bn_fold="expand")
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 64, 64, 3), jnp.float32)
+    variables = base.init({"params": jax.random.PRNGKey(0)}, x, train=True)
+    assert jax.tree_util.tree_structure(
+        folded.init({"params": jax.random.PRNGKey(0)}, x, train=True)
+    ) == jax.tree_util.tree_structure(variables)
+    y1, m1 = base.apply(variables, x, train=True, mutable=["batch_stats"])
+    y2, m2 = folded.apply(variables, x, train=True, mutable=["batch_stats"])
+    d = np.abs(np.asarray(y1) - np.asarray(y2))
+    assert d.max() < 5e-3 and d.mean() < 1e-4, (d.max(), d.mean())
+    e1 = base.apply(variables, x, train=False)
+    e2 = folded.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=1e-3, rtol=1e-3)

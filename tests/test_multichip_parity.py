@@ -80,11 +80,17 @@ def test_queue_state_global_consistency_across_mesh(cpu_devices):
     np.testing.assert_allclose(norm_sets[1], 1.0, atol=1e-3)
 
 
-def test_sync_bn_matches_single_device_stats(cpu_devices):
+import pytest
+
+
+@pytest.mark.parametrize("bn_fold", ["none", "expand"])
+def test_sync_bn_matches_single_device_stats(cpu_devices, bn_fold):
     """--sync-bn: BN batch statistics psum'd over the data axis must equal the
     single-device global-batch statistics for the same images (with per-device
     stats this equality would NOT hold). Exercises the encoder directly — the
-    train step's augmentation RNG is per-device by design."""
+    train step's augmentation RNG is per-device by design. Parametrized over
+    derived-stat BN folding, whose sync path psums the raw input moments
+    (s1, xᵀx, n) instead of the per-channel y-stats."""
     from jax.sharding import NamedSharding, PartitionSpec as P
     from vince_tpu.models.vince_model import VinceEncoder
     from vince_tpu.parallel.mesh import DATA_AXIS
@@ -92,12 +98,13 @@ def test_sync_bn_matches_single_device_stats(cpu_devices):
     rng = np.random.RandomState(3)
     images = jnp.asarray(rng.randn(16, 32, 32, 3).astype(np.float32))
 
-    ref_model = VinceEncoder(backbone_name="ResNet18", embed_size=16)
+    ref_model = VinceEncoder(backbone_name="ResNet18", embed_size=16,
+                             bn_fold=bn_fold)
     variables = ref_model.init({"params": jax.random.PRNGKey(0)}, images)
     ref_out, ref_mut = ref_model.apply(variables, images, train=True, mutable=["batch_stats"])
 
     sync_model = VinceEncoder(backbone_name="ResNet18", embed_size=16,
-                              bn_axis_name=DATA_AXIS)
+                              bn_fold=bn_fold, bn_axis_name=DATA_AXIS)
     mesh = make_mesh(MeshSpec(4, 1))
 
     def local_apply(params, stats, imgs):

@@ -15,7 +15,7 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-from vince_tpu.models.resnet import Conv1x1
+from vince_tpu.models.resnet import Conv1x1, FoldCfg, folded_dot_bn
 
 # (expand_ratio, out_channels, num_repeats, stride, kernel_size) per stage
 _BASE_BLOCKS = (
@@ -69,6 +69,10 @@ class MBConv(nn.Module):
     strides: int
     norm: Any
     se_ratio: float = 0.25
+    # derived-stat BN folding for the 1×1 *expand* conv (Cin→6·Cin: the xᵀx
+    # moment dot is 1/6 of the main dot's FLOPs — see resnet.folded_dot_bn).
+    # The project conv reduces 6C→C, where the fold costs more than it saves.
+    fold_cfg: Optional[FoldCfg] = None
 
     @nn.compact
     def __call__(self, x):
@@ -76,9 +80,15 @@ class MBConv(nn.Module):
         y = x
         expanded = in_ch * self.expand_ratio
         if self.expand_ratio != 1:
-            y = Conv1x1(expanded, name="expand_conv")(y)
-            y = self.norm(name="expand_bn")(y)
-            y = nn.swish(y)
+            if self.fold_cfg is not None:
+                y = folded_dot_bn(
+                    y, expanded, self.fold_cfg,
+                    conv_name="expand_conv", bn_name="expand_bn", act=nn.swish,
+                )
+            else:
+                y = Conv1x1(expanded, name="expand_conv")(y)
+                y = self.norm(name="expand_bn")(y)
+                y = nn.swish(y)
         # TF-SAME (asymmetric for stride 2) matches the reference package's
         # Conv2dStaticSamePadding — required for torch-weight forward parity.
         y = nn.Conv(
@@ -109,6 +119,10 @@ class EfficientNet(nn.Module):
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
     remat: bool = False  # rematerialize MBConv blocks
+    # {"none", "expand", "all"}: fold BN into the channel-expanding 1×1 dots
+    # (expand_conv + head_conv) via derived input moments; "all" behaves like
+    # "expand" here (reducing project_conv folds are never profitable)
+    bn_fold: str = "none"
 
     @property
     def output_channels(self) -> int:
@@ -126,6 +140,15 @@ class EfficientNet(nn.Module):
             dtype=self.dtype,
             axis_name=self.axis_name if train else None,
         )
+        fold_cfg = None
+        if self.bn_fold != "none":
+            fold_cfg = FoldCfg(
+                train=train,
+                momentum=self.bn_momentum,
+                epsilon=self.bn_epsilon,
+                dtype=self.dtype,
+                axis_name=self.axis_name if train else None,
+            )
         x = x.astype(self.dtype)
         x = nn.Conv(
             round_filters(32, width), (3, 3), strides=(2, 2),
@@ -144,9 +167,15 @@ class EfficientNet(nn.Module):
                     kernel=kernel,
                     strides=stride if r == 0 else 1,
                     norm=norm,
+                    fold_cfg=fold_cfg,
                     name=f"block_{block_idx}",
                 )(x)
                 block_idx += 1
+        if fold_cfg is not None:
+            return folded_dot_bn(
+                x, self.output_channels, fold_cfg,
+                conv_name="head_conv", bn_name="head_bn", act=nn.swish,
+            )
         x = Conv1x1(self.output_channels, name="head_conv")(x)
         x = norm(name="head_bn")(x)
         return nn.swish(x)

@@ -170,7 +170,7 @@ def folded_dot_bn(
     conv_name: str,
     bn_name: str,
     strides: int = 1,
-    relu: bool = False,
+    act: Any = None,  # post-BN activation (nn.relu / nn.swish / None)
     residual: Optional[jax.Array] = None,
     scale_init: Any = nn.initializers.ones,
 ) -> jax.Array:
@@ -232,7 +232,7 @@ def folded_dot_bn(
     y = y + b
     if residual is not None:
         y = y + residual
-    return nn.relu(y) if relu else y
+    return act(y) if act is not None else y
 
 
 class BasicBlock(nn.Module):
@@ -307,7 +307,7 @@ class Bottleneck(nn.Module):
         if self.fold_cfg is not None and self.fold_all:
             y = folded_dot_bn(
                 x, self.filters, self.fold_cfg,
-                conv_name="conv1", bn_name="bn1", relu=True,
+                conv_name="conv1", bn_name="bn1", act=nn.relu,
             )
         else:
             y = Conv1x1(self.filters, name="conv1")(x)
@@ -334,7 +334,7 @@ class Bottleneck(nn.Module):
             return folded_dot_bn(
                 y, self.filters * self.expansion, self.fold_cfg,
                 conv_name="conv3", bn_name="bn3",
-                relu=True, residual=residual,
+                act=nn.relu, residual=residual,
                 scale_init=nn.initializers.zeros,
             )
         y = Conv1x1(self.filters * self.expansion, name="conv3")(y)

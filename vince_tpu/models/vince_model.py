@@ -53,11 +53,10 @@ class VinceEncoder(nn.Module):
 
     def setup(self):
         backbone_cls = get_backbone(self.backbone_name)
-        kwargs = {"remat": self.remat}
+        kwargs = {"remat": self.remat, "bn_fold": self.bn_fold}
         if "ResNet" in self.backbone_name:
             kwargs["norm_kind"] = self.norm_kind
             kwargs["stem_kind"] = self.stem_kind  # ResNet-only (7x7 stem)
-            kwargs["bn_fold"] = self.bn_fold  # ResNet-only (1×1-dot BN folding)
         self.backbone = backbone_cls(
             dtype=self.dtype, axis_name=self.bn_axis_name, name="backbone", **kwargs
         )
