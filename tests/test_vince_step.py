@@ -222,3 +222,25 @@ def test_ema_momentum_math(setup):
     leaf_knew = np.asarray(key_new["backbone"]["conv1"]["kernel"])
     expected = cfg.momentum * leaf_old + (1 - cfg.momentum) * leaf_qnew
     np.testing.assert_allclose(leaf_knew, expected, rtol=1e-5, atol=1e-7)
+
+
+def test_bn_fold_step_parity(setup):
+    """The full train step (aug → shuffled-BN key fwd → query fwd → InfoNCE →
+    SGD → EMA → enqueue) must produce the same losses/metrics with and
+    without derived-stat BN folding — same function, different op schedule."""
+    import dataclasses
+
+    cfg, mesh, optimizer, make_state, step_fn = setup
+    assert cfg.bn_fold == "expand"  # production default exercised by `setup`
+    step_none = make_train_step(
+        dataclasses.replace(cfg, bn_fold="none"), optimizer, mesh
+    )
+    batch = _make_batch(cfg, np.random.RandomState(7))
+    key = jax.random.PRNGKey(3)
+    _, m1 = step_fn(make_state(), batch, key)
+    _, m2 = step_none(make_state(), batch, key)
+    assert set(m1) == set(m2)
+    for k in sorted(m1):
+        a = float(np.asarray(jax.device_get(m1[k])))
+        b = float(np.asarray(jax.device_get(m2[k])))
+        assert abs(a - b) <= 2e-3 + 2e-3 * abs(b), (k, a, b)

@@ -122,6 +122,7 @@ class EndTaskBaseSolver(BaseSolver):
             compute_dtype=dtype,
             data_axis_size=md,
             head_lr_scales=self.head_lr_scales,
+            bn_fold=getattr(args, "bn_fold", "expand"),
         )
 
     def setup_model(self):

@@ -50,6 +50,7 @@ class EndTaskConfig:
     lstm_hidden: int = 512
     # per-head LR decades: ImageNet probes use lr·0.01^m (:30-41); SUN equal
     head_lr_scales: Tuple[float, ...] = (1.0, 0.01)
+    bn_fold: str = "expand"  # 1×1-dot BN folding (matters for fine-tune mode)
 
 
 @flax.struct.dataclass
@@ -67,6 +68,7 @@ def build_models(cfg: EndTaskConfig):
         embed_size=cfg.embed_size,
         use_attention=cfg.use_attention,
         dtype=cfg.compute_dtype,
+        bn_fold=cfg.bn_fold,
     )
     if cfg.task == "classifier":
         decoder = MultiLinearModel(cfg.num_classes)
