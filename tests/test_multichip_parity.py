@@ -5,6 +5,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 
 from vince_tpu.parallel.mesh import MeshSpec, make_mesh
 from vince_tpu.solvers.vince_step import (
@@ -78,9 +79,6 @@ def test_queue_state_global_consistency_across_mesh(cpu_devices):
     # inserted rows are unit-norm on both meshes
     np.testing.assert_allclose(norm_sets[0], 1.0, atol=1e-3)
     np.testing.assert_allclose(norm_sets[1], 1.0, atol=1e-3)
-
-
-import pytest
 
 
 @pytest.mark.parametrize("bn_fold", ["none", "expand"])

@@ -5,7 +5,7 @@ attached TPU and print the per-op time breakdown (grouped by op-name stem).
 This is how docs/PERFORMANCE.md's tables were produced. Notes for the axon
 tunnel: time by fetching values (block_until_ready does not reliably wait),
 and never profile while a heavy host job runs. Env overrides: PROF_BATCH,
-PROF_BACKBONE, PROF_STEPS."""
+PROF_BACKBONE, PROF_STEPS, PROF_IMAGE, PROF_BN_FOLD (none|expand|all), PROF_DIR."""
 import glob, gzip, json, os, sys, time, collections
 import numpy as np
 import jax, jax.numpy as jnp, optax
@@ -28,7 +28,7 @@ cfg = VinceConfig(
     backbone=BACKBONE, embed_size=128, image_size=IMAGE, queue_size=65536,
     compute_dtype=jnp.bfloat16, data_axis_size=1, queue_axis_size=1,
     shuffle_bn=True,
-    bn_fold=os.environ.get("PROF_BN_FOLD", "none"),
+    bn_fold=os.environ.get("PROF_BN_FOLD", "expand"),  # match production default
 )
 mesh = make_mesh(MeshSpec(1, 1))
 opt = optax.chain(optax.add_decayed_weights(1e-4), optax.sgd(0.03, momentum=0.9))

@@ -162,10 +162,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     parser.add_argument(
         "--bn-fold", default="expand", choices=["none", "expand", "all"],
-        help="Fold BatchNorm into the ResNet 1x1 dots using batch statistics "
-        "derived from input moments (same math, same param tree; removes the "
-        "pre-norm HBM round trip). 'expand' folds conv3+downsample, 'all' "
-        "also folds the channel-reducing conv1.",
+        help="Fold BatchNorm into the 1x1 dots using batch statistics derived "
+        "from input moments (same math, same param tree; removes the pre-norm "
+        "HBM round trip). ResNet: 'expand' folds conv3+downsample, 'all' also "
+        "folds the channel-reducing conv1 (measured slower). EfficientNet: "
+        "folds the MBConv expand convs + head conv ('all' == 'expand' there).",
     )
     parser.add_argument(
         "--remat", action="store_true",

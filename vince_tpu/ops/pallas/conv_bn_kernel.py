@@ -113,7 +113,11 @@ def _kernel(y_ref, a_ref, b_ref, k_ref, out_ref, s1_ref, s2_ref,
                 preferred_element_type=jnp.float32,
             )  # [nb, H, W, F] f32
             out = part if out is None else out + part
-    out_ref[...] = out.astype(dtype)
+    out_b = out.astype(dtype)
+    out_ref[...] = out_b
+    # stats describe the STORED (rounded) tensor, matching _reference — the
+    # downstream BN normalizes the stored y, not the f32 accumulator
+    out = out_b.astype(jnp.float32)
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
