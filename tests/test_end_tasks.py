@@ -2,7 +2,6 @@
 step runs, tracking step + tracker inference + OTB harness run end-to-end."""
 
 import numpy as np
-import pytest
 
 from vince_tpu.arg_parser import build_parser, finalize_args
 

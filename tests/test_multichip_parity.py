@@ -89,7 +89,7 @@ def test_sync_bn_matches_single_device_stats(cpu_devices, bn_fold):
     train step's augmentation RNG is per-device by design. Parametrized over
     derived-stat BN folding, whose sync path psums the raw input moments
     (s1, xᵀx, n) instead of the per-channel y-stats."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
     from vince_tpu.models.vince_model import VinceEncoder
     from vince_tpu.parallel.mesh import DATA_AXIS
 

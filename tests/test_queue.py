@@ -4,7 +4,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vince_tpu.ops.queue import QueueState, dequeue, enqueue, init_queue
+from vince_tpu.ops.queue import dequeue, enqueue, init_queue
 
 
 def _naive_enqueue(bank, tail, items):

@@ -1,18 +1,15 @@
 """Sharded InfoNCE: parity (values + gradients) with the reference-semantics
 implementation, across a real 2×4 (data×queue) shard_map."""
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
 
-from vince_tpu.ops.infonce import multi_frame_mask, multi_pair_infonce, nce_accuracy
+from vince_tpu.ops.infonce import multi_pair_infonce, nce_accuracy
 from vince_tpu.ops.queue import QueueState, enqueue, enqueue_sharded, init_queue
 from vince_tpu.ops.sharded_infonce import sharded_multi_pair_infonce
 from vince_tpu.parallel.mesh import MeshSpec, make_mesh
-
 
 def _data(b=8, bg=16, d=32, k=64, nf=2, seed=0):
     rng = np.random.RandomState(seed)
@@ -24,7 +21,6 @@ def _data(b=8, bg=16, d=32, k=64, nf=2, seed=0):
     groups_k = (np.arange(bg) // nf)[None, :]
     mask = groups_q == groups_k
     return q, kb, queue, mask
-
 
 def test_unsharded_matches_reference_impl():
     q, kb, queue, mask = _data()
@@ -41,7 +37,6 @@ def test_unsharded_matches_reference_impl():
     )
     acc_ref = nce_accuracy(jnp.asarray(sims), jnp.asarray(full_mask))
     np.testing.assert_allclose(float(out["nce_accuracy"]), float(acc_ref), rtol=1e-6)
-
 
 def test_sharded_value_and_grad_parity(cpu_devices):
     """2 data × 4 queue mesh: loss values and q-gradients must match the
@@ -101,7 +96,6 @@ def test_sharded_value_and_grad_parity(cpu_devices):
         np.testing.assert_allclose(
             np.asarray(grad_sh[rows]), np.asarray(gref), rtol=1e-4, atol=1e-7
         )
-
 
 def test_enqueue_sharded_matches_unsharded(cpu_devices):
     """Sharded ring insert over 4 shards == single-bank insert."""

@@ -2,13 +2,10 @@
 checkpoint save/restore-resume. The TPU analog of the reference's debug launch
 configs (train_vince_debug.sh), on the 8-device CPU mesh."""
 
-import os
-
 import numpy as np
 import pytest
 
 from vince_tpu.arg_parser import build_parser, finalize_args
-
 
 def _args(tmp_path, extra=()):
     argv = [
@@ -36,7 +33,6 @@ def _args(tmp_path, extra=()):
     ]
     return finalize_args(build_parser().parse_args(argv))
 
-
 @pytest.fixture(scope="module")
 def solver(tmp_path_factory, cpu_devices):
     from vince_tpu.solvers.vince_solver import VinceSolver
@@ -47,7 +43,6 @@ def solver(tmp_path_factory, cpu_devices):
     yield s
     s.end()
 
-
 def test_train_iterations_finite_loss(solver):
     solver.reset_epoch()
     metrics = None
@@ -57,12 +52,10 @@ def test_train_iterations_finite_loss(solver):
     assert solver.iteration == 3 * 16
     assert int(np.asarray(solver.state.step)) == 3
 
-
 def test_val_runs(solver):
     results = solver.run_val(max_seconds=30, max_batches=2)
     assert np.isfinite(results["loss/nce_loss"])
     assert "nce_accuracy" in results
-
 
 def test_checkpoint_save_restore_resume(tmp_path, cpu_devices):
     from vince_tpu.solvers.vince_solver import VinceSolver
@@ -87,7 +80,6 @@ def test_checkpoint_save_restore_resume(tmp_path, cpu_devices):
     assert int(np.asarray(s2.state.step)) == step1 + 1
     s2.end()
 
-
 def test_cifar_knn_probe(tmp_path, cpu_devices):
     """kNN probe on synthetic color-class data: a random-init encoder already
     separates color classes well above chance (sanity of the probe path)."""
@@ -104,7 +96,6 @@ def test_cifar_knn_probe(tmp_path, cpu_devices):
     acc = s.run_cifar_knn()
     assert acc is not None and acc > 0.3  # 4 classes, chance = 0.25
     s.end()
-
 
 def test_restored_queue_not_clobbered_and_fill_queue(tmp_path, cpu_devices):
     """(a) Resume must keep the checkpointed bank (our improvement over the
@@ -140,7 +131,6 @@ def test_restored_queue_not_clobbered_and_fill_queue(tmp_path, cpu_devices):
     norms = np.linalg.norm(np.asarray(q.vectors), axis=1)
     np.testing.assert_allclose(norms, 1.0, atol=1e-3)
     s2.end()
-
 
 def test_npz_image_dataset_moco_training(tmp_path, cpu_devices):
     """Single-frame MoCo on NPZ (CIFAR-shaped) files — BASELINE.json's

@@ -2,8 +2,6 @@
 into the flax ResNet18/VinceEncoder trees with exactly matching structure and
 correctly transposed values, and the model must run with the loaded weights."""
 
-import re
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -15,7 +13,6 @@ from vince_tpu.utils.torch_convert import (
     convert_resnet_state_dict,
     convert_vince_state_dict,
 )
-
 
 def _torch_resnet18_state_dict(rng):
     """Build a torchvision-resnet18-shaped state dict (names + shapes)."""
@@ -50,7 +47,6 @@ def _torch_resnet18_state_dict(rng):
     sd["fc.bias"] = rng.randn(1000).astype(np.float32)
     return sd
 
-
 def test_resnet18_conversion_structure_and_values():
     rng = np.random.RandomState(0)
     sd = _torch_resnet18_state_dict(rng)
@@ -79,7 +75,6 @@ def test_resnet18_conversion_structure_and_values():
                       jnp.ones((1, 32, 32, 3)), train=False)
     assert out.shape == (1, 1, 1, 512)
     assert np.isfinite(np.asarray(out)).all()
-
 
 def test_vince_checkpoint_conversion():
     rng = np.random.RandomState(1)
@@ -115,7 +110,6 @@ def test_vince_checkpoint_conversion():
     np.testing.assert_array_equal(
         np.asarray(params["embedding"]["fc1"]["kernel"]), sd["embedding.0.weight"].T
     )
-
 
 def test_vince_checkpoint_conversion_efficientnet_backbone():
     """convert_vince_state_dict must route `_conv_stem`/`_blocks` keys through

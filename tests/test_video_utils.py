@@ -1,7 +1,6 @@
 """Video filter cascade + tracking crop ops (host-side, cv2-based)."""
 
 import numpy as np
-import pytest
 
 from vince_tpu.utils import video_utils
 from vince_tpu.tracking.ops import get_cropped_input, iou_xyxy, xywh_to_xyxy

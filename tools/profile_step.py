@@ -6,7 +6,7 @@ This is how docs/PERFORMANCE.md's tables were produced. Notes for the axon
 tunnel: time by fetching values (block_until_ready does not reliably wait),
 and never profile while a heavy host job runs. Env overrides: PROF_BATCH,
 PROF_BACKBONE, PROF_STEPS, PROF_IMAGE, PROF_BN_FOLD (none|expand|all), PROF_DIR."""
-import glob, gzip, json, os, sys, time, collections
+import glob, gzip, json, os, sys, collections
 import numpy as np
 import jax, jax.numpy as jnp, optax
 

@@ -9,7 +9,7 @@ driver (:158-161); crash-save handled by the runner.
 """
 
 import abc
-import time
+
 from typing import Dict, Optional
 
 import numpy as np
@@ -17,7 +17,6 @@ import numpy as np
 from vince_tpu.utils.logger import Logger
 from vince_tpu.utils.meters import RollingAverageMeter
 from vince_tpu.utils.schedules import vince_lr_schedule
-
 
 class BaseSolver(abc.ABC):
     def __init__(self, args, train_logger: Optional[Logger] = None, val_logger: Optional[Logger] = None):

@@ -162,7 +162,6 @@ class VinceSolver(BaseSolver):
         if (args.use_imagenet_weights or weights_path) and os.path.exists(weights_path):
             # torchvision/VinceModel checkpoint → backbone init (SURVEY §7)
             from vince_tpu.models.vince_model import split_vince_params
-            from vince_tpu.ops.ema import ema_update
             from vince_tpu.utils.torch_convert import (
                 convert_vince_state_dict, load_torch_checkpoint,
             )

@@ -12,12 +12,11 @@ Parity with reference ``models/base_model.py:13-26`` + SURVEY.md §5.4:
 """
 
 import os
-import re
+
 from typing import Any, Optional, Sequence
 
 import jax
 import orbax.checkpoint as ocp
-
 
 def _rename_tree(tree: Any, saved_prefixes: Sequence[str], new_prefixes: Sequence[str]):
     """Strip any of ``saved_prefixes`` from top-level key paths and prepend the
@@ -35,7 +34,6 @@ def _rename_tree(tree: Any, saved_prefixes: Sequence[str], new_prefixes: Sequenc
                 break
         out[new_key] = val
     return out
-
 
 class CheckpointManager:
     """Rolling + long-save checkpoints for arbitrary state pytrees."""
