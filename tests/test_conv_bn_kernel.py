@@ -26,10 +26,17 @@ def test_kernel_matches_reference_interpret(shape):
         assert err < 1e-3 * scale + 1e-4, (name, err, scale)
 
 
-def test_custom_vjp_matches_reference_autodiff():
+@pytest.mark.parametrize("post_relu_input", [False, True])
+def test_custom_vjp_matches_reference_autodiff(post_relu_input):
+    """post_relu_input=True feeds an input with exact zeros (the identity-
+    affine mode's real inputs): the ReLU tie-gradient convention must match
+    between the custom VJP (strict >0 mask) and the reference (jax.nn.relu,
+    derivative 0 at 0)."""
     n, h, w, c, f = 1, 8, 8, 8, 8
     rng = np.random.RandomState(1)
     y_prev = jnp.asarray(rng.randn(n, h, w, c), jnp.float32)
+    if post_relu_input:
+        y_prev = jax.nn.relu(y_prev)  # ~half the entries exactly 0
     a = jnp.asarray(rng.rand(c) + 0.5, jnp.float32)
     b = jnp.asarray(rng.randn(c) * 0.1, jnp.float32)
     k = jnp.asarray(rng.randn(3, 3, c, f) * 0.1, jnp.float32)

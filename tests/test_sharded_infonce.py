@@ -11,6 +11,7 @@ from vince_tpu.ops.queue import QueueState, enqueue, enqueue_sharded, init_queue
 from vince_tpu.ops.sharded_infonce import sharded_multi_pair_infonce
 from vince_tpu.parallel.mesh import MeshSpec, make_mesh
 
+
 def _data(b=8, bg=16, d=32, k=64, nf=2, seed=0):
     rng = np.random.RandomState(seed)
     norm = lambda x: x / np.linalg.norm(x, axis=-1, keepdims=True)

@@ -7,6 +7,7 @@ import pytest
 
 from vince_tpu.arg_parser import build_parser, finalize_args
 
+
 def _args(tmp_path, extra=()):
     argv = [
         "--title", "test", "--description", "e2e",

@@ -245,7 +245,6 @@ class BasicBlock(nn.Module):
     downsample: bool = False
     expansion: int = 1
     fold_cfg: Optional[FoldCfg] = None  # derived-stat BN folding for 1×1 convs
-    fold_all: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -431,6 +430,10 @@ class ResNet(nn.Module):
                 in_ch = x.shape[-1]
                 s = stride if block == 0 else 1
                 needs_down = s != 1 or in_ch != filters * expansion
+                extra = (
+                    {"fold_all": self.bn_fold == "all"}
+                    if self.block_cls is Bottleneck else {}
+                )  # BasicBlock has no 1×1 conv1 — "all" is meaningless there
                 x = block_cls(
                     filters=filters,
                     norm=norm,
@@ -438,8 +441,8 @@ class ResNet(nn.Module):
                     dilation=dilation,
                     downsample=needs_down,
                     fold_cfg=fold_cfg,
-                    fold_all=self.bn_fold == "all",
                     name=f"layer{stage + 1}_{block}",
+                    **extra,
                 )(x)
         return x
 

@@ -58,9 +58,12 @@ def _conv_nhwc(x, kernel):
 
 
 def _reference(y_prev, a, b, kernel):
-    """Same math in plain XLA (non-TPU backends, parity tests, fallbacks)."""
+    """Same math in plain XLA (non-TPU backends, parity tests, fallbacks).
+    Uses jax.nn.relu, whose derivative is 0 at exactly 0 — matching the
+    custom VJP's strict (x̂ > 0) mask (jnp.maximum would split ties 0.5/0.5,
+    and exact zeros are common when the input is already post-ReLU)."""
     dtype = y_prev.dtype
-    xh = jnp.maximum(y_prev.astype(jnp.float32) * a + b, 0.0).astype(dtype)
+    xh = jax.nn.relu(y_prev.astype(jnp.float32) * a + b).astype(dtype)
     y = _conv_nhwc(xh, kernel.astype(dtype))
     s1 = jnp.sum(y, axis=(0, 1, 2), dtype=jnp.float32)
     s2 = jnp.sum(jnp.square(y.astype(jnp.float32)), axis=(0, 1, 2))
@@ -173,11 +176,19 @@ def kernel_supported(y_prev, kernel) -> bool:
     )
 
 
+# tri-state override for dispatch: None = auto (default backend is a TPU),
+# True/False force the Pallas / XLA path. The auto check looks at the process
+# default backend, NOT the device the call is staged on — a caller jitting
+# onto CPU devices while a TPU is attached must set this to False.
+USE_PALLAS = None
+
+
 def _use_pallas(y_prev, kernel):
-    return (
-        kernel_supported(y_prev, kernel)
-        and jax.devices()[0].platform in ("tpu", "axon")
-    )
+    if not kernel_supported(y_prev, kernel):
+        return False
+    if USE_PALLAS is not None:
+        return USE_PALLAS
+    return jax.default_backend() in ("tpu", "axon")
 
 
 def _fwd_impl(y_prev, a, b, kernel):

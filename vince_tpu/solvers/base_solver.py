@@ -9,7 +9,6 @@ driver (:158-161); crash-save handled by the runner.
 """
 
 import abc
-
 from typing import Dict, Optional
 
 import numpy as np

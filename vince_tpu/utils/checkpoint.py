@@ -12,7 +12,6 @@ Parity with reference ``models/base_model.py:13-26`` + SURVEY.md §5.4:
 """
 
 import os
-
 from typing import Any, Optional, Sequence
 
 import jax
