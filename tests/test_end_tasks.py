@@ -45,6 +45,30 @@ def test_classifier_solver_learns(tmp_path, cpu_devices):
     s.end()
 
 
+def test_full_epoch_val_covers_whole_split(tmp_path, cpu_devices):
+    """run_val with no cap = exactly one pass: ceil(len(val)/B) batches, every
+    sample counted once, padded final batch weighted by its valid rows
+    (reference end_task_base_solver.py:305-417; VERDICT round-1 item #3)."""
+    from vince_tpu.solvers.end_task_solvers import EndTaskSunSceneSolver
+
+    # batch 24 (items=24, mesh 4): 512 % 24 != 0 → exercises final-batch padding
+    args = _args(tmp_path, ["--dataset", "SyntheticImageDataset", "--batch-size", "24"])
+    s = EndTaskSunSceneSolver(args)
+    res = s.run_val()
+    ds = s._make_dataset("val")
+    items = s._items_per_batch()
+    assert s.last_val_batches == int(np.ceil(len(ds) / items))
+    assert s.last_val_samples == len(ds)
+    assert np.isfinite(res["loss/classifier_loss_0"])
+    assert 0.0 <= res["classifier_accuracy_0"] <= 1.0
+
+    # run_eval rebuilds the loader and covers the same full split
+    res2 = s.run_eval()
+    assert s.last_val_samples == len(ds)
+    assert np.isfinite(res2["loss/classifier_loss_0"])
+    s.end()
+
+
 def test_kinetics_solver_runs(tmp_path, cpu_devices):
     from vince_tpu.solvers.end_task_solvers import EndTaskKinetics400Solver
 

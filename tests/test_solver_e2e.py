@@ -159,3 +159,32 @@ def test_npz_image_dataset_moco_training(tmp_path, cpu_devices):
     acc = s.run_cifar_knn()
     assert acc is not None and acc > 0.3
     s.end()
+
+
+def test_log_images_emits_panels(solver):
+    """log_images produces the input grid + NN panel through the panel
+    forward, with the host image ring positionally mirroring the queue."""
+    class FakeLogger:
+        def __init__(self):
+            self.images = {}
+
+        def image_summary(self, tag, img, step):
+            self.images[tag] = np.asarray(img)
+
+    _, host_batches = solver.get_batch()
+    saved = solver.train_logger
+    fake = FakeLogger()
+    solver.train_logger = fake
+    try:
+        solver.log_images(host_batches)
+    finally:
+        solver.train_logger = saved
+    tags = list(fake.images)
+    assert any("_inputs/" in t for t in tags), tags
+    assert any("_outputs/" in t for t in tags), tags
+    for img in fake.images.values():
+        assert img.dtype == np.uint8 and img.ndim == 3
+
+    # ring mirrors the device queue: same capacity, same tail
+    assert solver.image_ring.maxsize == solver.cfg.queue_size
+    assert solver.image_ring.tail == int(np.asarray(solver.state.queue.tail))

@@ -244,3 +244,49 @@ def test_bn_fold_step_parity(setup):
         a = float(np.asarray(jax.device_get(m1[k])))
         b = float(np.asarray(jax.device_get(m2[k])))
         assert abs(a - b) <= 2e-3 + 2e-3 * abs(b), (k, a, b)
+
+
+def test_panel_fn_outputs(setup):
+    """make_panel_fn returns everything the training-loop image panels need
+    (embeddings + supervised decoder logits; VERDICT round-1 item #5)."""
+    from vince_tpu.solvers.vince_step import make_panel_fn
+
+    cfg, mesh, optimizer, make_state, _ = setup
+    state = make_state()
+    fn = make_panel_fn(cfg, mesh)
+    imgs = jnp.asarray(
+        np.random.RandomState(0).randint(0, 256, (8, 32, 32, 3), np.uint8)
+    )
+    out = jax.device_get(fn(state, imgs))
+    assert out["embeddings"].shape == (8, cfg.embed_size)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(out["embeddings"]), axis=1), 1.0, rtol=1e-2
+    )
+    assert out["imagenet_logits_0"].shape == (8, 1000)
+    assert out["imagenet_logits_1"].shape == (8, 1000)
+    assert "attention_masks" not in out  # no attention pool in this cfg
+
+
+def test_panel_fn_attention_masks(cpu_devices):
+    from vince_tpu.solvers.vince_step import make_panel_fn
+
+    cfg = VinceConfig(
+        sources=(SourceSpec("R2V2", batch_size=8, num_frames=2, source_id=1),),
+        backbone="ResNet18",
+        embed_size=16,
+        image_size=32,
+        queue_size=32,
+        data_axis_size=4,
+        queue_axis_size=1,
+        use_attention=True,
+    )
+    mesh = make_mesh(MeshSpec(data_axis_size=4, queue_axis_size=1))
+    optimizer = optax.sgd(0.01)
+    state = shard_state(init_vince_state(jax.random.PRNGKey(0), cfg, optimizer), mesh)
+    fn = make_panel_fn(cfg, mesh)
+    imgs = jnp.asarray(
+        np.random.RandomState(1).randint(0, 256, (8, 32, 32, 3), np.uint8)
+    )
+    out = jax.device_get(fn(state, imgs))
+    masks = np.asarray(out["attention_masks"])
+    assert masks.shape[0] == 8 and np.all(np.isfinite(masks))

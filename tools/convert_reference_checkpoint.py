@@ -15,7 +15,7 @@ checkpoint them at all, SURVEY.md §5.4).
 import argparse
 
 
-def main():
+def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--torch-checkpoint", required=True)
     parser.add_argument("--output-dir", required=True)
@@ -24,15 +24,17 @@ def main():
     parser.add_argument("--queue-size", type=int, default=65536)
     parser.add_argument("--image-size", type=int, default=224)
     parser.add_argument("--step", type=int, default=0)
-    args = parser.parse_args()
+    args = parser.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
-    import optax
 
     from vince_tpu.models.vince_model import split_vince_params
-    from vince_tpu.solvers.vince_step import SourceSpec, VinceConfig, init_vince_state
+    from vince_tpu.solvers.vince_step import (
+        SourceSpec, VinceConfig, build_vince_optimizer, init_vince_state,
+    )
     from vince_tpu.utils.checkpoint import CheckpointManager
+    from vince_tpu.utils.schedules import vince_lr_schedule
     from vince_tpu.utils.torch_convert import (
         convert_vince_state_dict,
         load_torch_checkpoint,
@@ -53,7 +55,10 @@ def main():
         image_size=args.image_size,
         queue_size=args.queue_size,
     )
-    optimizer = optax.chain(optax.add_decayed_weights(1e-4), optax.sgd(0.03, momentum=0.9))
+    # MUST mirror VinceSolver._build_optimizer so the checkpointed opt_state
+    # tree restores into the solver (schedule hyperparams don't matter for a
+    # step-0 conversion; the *structure* does)
+    optimizer = build_vince_optimizer(vince_lr_schedule(0.03, 200, 5000))
     state = init_vince_state(jax.random.PRNGKey(0), cfg, optimizer)
 
     params = dict(state.params)

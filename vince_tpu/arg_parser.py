@@ -161,12 +161,20 @@ def build_parser() -> argparse.ArgumentParser:
         "reformulation (bit-compatible params, same math, MXU-friendlier).",
     )
     parser.add_argument(
+        "--norm-kind", default="batchnorm", choices=["batchnorm", "groupnorm"],
+        help="Backbone normalization. groupnorm sidesteps per-device BN-stat "
+        "noise at tiny per-device batches (useful for small-scale learning "
+        "diagnostics); batchnorm is the reference behavior.",
+    )
+    parser.add_argument(
         "--bn-fold", default="expand", choices=["none", "expand", "all"],
         help="Fold BatchNorm into the 1x1 dots using batch statistics derived "
         "from input moments (same math, same param tree; removes the pre-norm "
         "HBM round trip). ResNet: 'expand' folds conv3+downsample, 'all' also "
         "folds the channel-reducing conv1 (measured slower). EfficientNet: "
-        "folds the MBConv expand convs + head conv ('all' == 'expand' there).",
+        "folds the MBConv expand convs + head conv ('all' == 'expand' there). "
+        "No-op (with a notice) under --norm-kind groupnorm: only BatchNorm "
+        "has batch statistics to fold.",
     )
     parser.add_argument(
         "--remat", action="store_true",

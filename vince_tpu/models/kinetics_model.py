@@ -28,10 +28,12 @@ class Kinetics400Model(nn.Module):
         return nn.Dense(self.num_classes, name="fc")(last)
 
 
-def kinetics_losses(logits: jax.Array, labels: jax.Array) -> Dict[str, jax.Array]:
+def kinetics_losses(
+    logits: jax.Array, labels: jax.Array, reduce: bool = True
+) -> Dict[str, jax.Array]:
+    ce = optax.softmax_cross_entropy_with_integer_labels(logits.astype(jnp.float32), labels)
+    acc = (jnp.argmax(logits, -1) == labels).astype(jnp.float32)
     return {
-        "loss/classifier_loss_0": optax.softmax_cross_entropy_with_integer_labels(
-            logits.astype(jnp.float32), labels
-        ).mean(),
-        "classifier_accuracy_0": (jnp.argmax(logits, -1) == labels).astype(jnp.float32).mean(),
+        "loss/classifier_loss_0": ce.mean() if reduce else ce,
+        "classifier_accuracy_0": acc.mean() if reduce else acc,
     }

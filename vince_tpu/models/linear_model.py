@@ -36,15 +36,19 @@ class MultiLinearModel(nn.Module):
 
 
 def classifier_losses(
-    logits_tuple: Tuple[jax.Array, ...], labels: jax.Array
+    logits_tuple: Tuple[jax.Array, ...], labels: jax.Array, reduce: bool = True
 ) -> Dict[str, jax.Array]:
-    """Per-head CE loss + accuracy (reference linear_model.py:73-100)."""
+    """Per-head CE loss + accuracy (reference linear_model.py:73-100).
+
+    ``reduce=False`` returns per-sample ``[B]`` arrays instead of batch means
+    (used by the full-epoch val pass to weight a padded final batch exactly).
+    """
     out = {}
     for i, logits in enumerate(logits_tuple):
-        out[f"loss/classifier_loss_{i}"] = optax.softmax_cross_entropy_with_integer_labels(
+        ce = optax.softmax_cross_entropy_with_integer_labels(
             logits.astype(jnp.float32), labels
-        ).mean()
-        out[f"classifier_accuracy_{i}"] = (
-            (jnp.argmax(logits, -1) == labels).astype(jnp.float32).mean()
         )
+        acc = (jnp.argmax(logits, -1) == labels).astype(jnp.float32)
+        out[f"loss/classifier_loss_{i}"] = ce.mean() if reduce else ce
+        out[f"classifier_accuracy_{i}"] = acc.mean() if reduce else acc
     return out

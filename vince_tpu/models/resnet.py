@@ -190,6 +190,20 @@ def folded_dot_bn(
 
     With ``cfg.axis_name`` set, moments are psum'd across the mesh axis —
     sync-BN at [Cin]+[Cin,Cin] communication cost.
+
+    Numerical regime: the variance comes from the uncentered identity
+    E[y²]−μ² evaluated in f32 on bf16 activations, so cancellation error
+    scales with (μ/σ)² per channel. For post-ReLU inputs this ratio is small
+    (tests bound the var error tail at ~1e-3 relative); it degrades when a
+    channel's mean dominates its spread — e.g. near-constant activations
+    (dead ReLU channels are safe: both moments →0, and the ε floor + the
+    max(var,0) clamp keep the fold finite). flax's own BatchNorm uses the
+    same uncentered formulation; the fold adds one extra f32 rounding on the
+    W-projection. For numerical debugging at scale, compare against
+    ``--bn-fold none`` (same params, same math, centered two-pass stats via
+    flax) and watch BN running-var drift on long soaks — the centered
+    *folded* variant is intentionally not shipped (measured +18 ms/step,
+    docs/PERFORMANCE.md).
     """
     cin = x.shape[-1]
     kernel = _ConvKernelParam((1, 1, cin, features), name=conv_name)()
@@ -392,6 +406,12 @@ class ResNet(nn.Module):
     def __call__(self, x, train: bool = True):
         norm = self._make_norm(train)
         fold_cfg = None
+        if self.bn_fold != "none" and self.norm_kind != "batchnorm":
+            # derived-stat folding is a BatchNorm identity; other norms have
+            # no batch stats to fold — run unfolded rather than silently
+            # changing semantics (prints once per trace)
+            print(f"bn_fold={self.bn_fold!r} is a no-op with norm_kind="
+                  f"{self.norm_kind!r}; running unfolded")
         if self.bn_fold != "none" and self.norm_kind == "batchnorm":
             fold_cfg = FoldCfg(
                 train=train,

@@ -59,14 +59,22 @@ def _xywh_to_xyxy(box):
     return jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=0)
 
 
-def tracking_losses(responses: jax.Array, labels: jax.Array) -> Dict[str, jax.Array]:
-    """loss + metrics dict (reference :55-86)."""
+def tracking_losses(
+    responses: jax.Array, labels: jax.Array, reduce: bool = True
+) -> Dict[str, jax.Array]:
+    """loss + metrics dict (reference :55-86). ``reduce=False`` → per-sample
+    ``[B]`` arrays (focal renorm per sample — see losses.focal_loss)."""
     labels = labels.astype(jnp.float32)
-    loss = track_losses.focal_loss(responses, labels)
+    loss = track_losses.focal_loss(responses, labels, reduce=reduce)
     sig = jax.nn.sigmoid(responses)
-    dist = jnp.abs(sig - labels).mean()
+    map_axes = tuple(range(1, sig.ndim))
+    dist = jnp.abs(sig - labels).mean() if reduce else jnp.abs(sig - labels).mean(map_axes)
     pred_boxes = prediction_to_box(responses[..., 0] if responses.ndim == 4 else responses)
-    center_dist = jnp.abs(pred_boxes[:2] - 0.5).mean()
+    center_dist = (
+        jnp.abs(pred_boxes[:2] - 0.5).mean()
+        if reduce
+        else jnp.abs(pred_boxes[:2] - 0.5).mean(axis=0)
+    )
     gt = _xywh_to_xyxy(jnp.asarray([0.5, 0.5, 0.5, 0.5]))
     pred = _xywh_to_xyxy(pred_boxes)
     ix1 = jnp.maximum(pred[0], gt[0])
@@ -81,5 +89,5 @@ def tracking_losses(responses: jax.Array, labels: jax.Array) -> Dict[str, jax.Ar
         "loss/siam_tracking_loss": loss,
         "dist": dist,
         "center_dist": center_dist,
-        "mean_iou": iou.mean(),
+        "mean_iou": iou.mean() if reduce else iou,
     }

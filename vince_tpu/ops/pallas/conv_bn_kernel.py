@@ -165,10 +165,16 @@ def _pallas_impl(y_prev, a, b, kernel, interpret=False):
     return y, s1[0], s2[0]
 
 
-def kernel_supported(y_prev, kernel) -> bool:
+def kernel_supported(y_prev, kernel, stride=(1, 1), dilation=(1, 1)) -> bool:
+    """True iff the Pallas path can produce correct results for this site.
+    The kernel ONLY implements stride-1 / dilation-1 3x3 convs (pad 1) —
+    integrators must pass the site's stride/dilation so unsupported sites
+    fall back to XLA instead of silently computing the wrong conv."""
     n, h, w, c = y_prev.shape
     return (
         pltpu is not None
+        and tuple(stride) == (1, 1)
+        and tuple(dilation) == (1, 1)
         and c % 128 == 0
         and kernel.shape[:3] == (3, 3, c)
         and 2 <= h <= 32
@@ -183,39 +189,47 @@ def kernel_supported(y_prev, kernel) -> bool:
 USE_PALLAS = None
 
 
-def _use_pallas(y_prev, kernel):
+def _use_pallas(y_prev, kernel, use_pallas):
     if not kernel_supported(y_prev, kernel):
         return False
+    if use_pallas is not None:
+        return use_pallas
     if USE_PALLAS is not None:
         return USE_PALLAS
     return jax.default_backend() in ("tpu", "axon")
 
 
-def _fwd_impl(y_prev, a, b, kernel):
-    if not _use_pallas(y_prev, kernel):
+def _fwd_impl(y_prev, a, b, kernel, use_pallas=None):
+    if not _use_pallas(y_prev, kernel, use_pallas):
         return _reference(y_prev, a, b, kernel)
     return _pallas_impl(y_prev, a, b, kernel)
 
 
-@jax.custom_vjp
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def affine_conv3x3_stats(
-    y_prev: jax.Array, a: jax.Array, b: jax.Array, kernel: jax.Array
+    y_prev: jax.Array, a: jax.Array, b: jax.Array, kernel: jax.Array,
+    use_pallas=None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """(y, Σy, Σy²) with y = conv3×3(relu(y_prev·a + b)), stride 1, pad 1.
 
     y_prev: [N,H,W,C] (compute dtype); a, b: [C] f32 (the folded BN of the
     *input*: a = γ·rsqrt(var+ε), b = β − μ·a; identity affine a=1, b=0 when
     the input is already activated); kernel: [3,3,C,F] f32.
+
+    ``use_pallas``: explicit per-call Pallas/XLA choice — part of the jit
+    cache key (a nondiff argnum), unlike the legacy module-global USE_PALLAS
+    latch which is only read at trace time. None = auto (global, then
+    default-backend sniff).
     """
-    return _fwd_impl(y_prev, a, b, kernel)
+    return _fwd_impl(y_prev, a, b, kernel, use_pallas)
 
 
-def _vjp_fwd(y_prev, a, b, kernel):
-    y, s1, s2 = _fwd_impl(y_prev, a, b, kernel)
+def _vjp_fwd(y_prev, a, b, kernel, use_pallas=None):
+    y, s1, s2 = _fwd_impl(y_prev, a, b, kernel, use_pallas)
     return (y, s1, s2), (y_prev, a, b, kernel, y)
 
 
-def _vjp_bwd(residuals, cotangents):
+def _vjp_bwd(use_pallas, residuals, cotangents):
     y_prev, a, b, kernel, y = residuals
     gy, gs1, gs2 = cotangents
     dtype = y_prev.dtype

@@ -130,9 +130,14 @@ def dequeue(state: QueueState) -> Dict[str, jax.Array]:
 
 
 class HostImageRing:
-    """Host-side ring of uint8 thumbnails parallel to the device queue, used
-    only for nearest-neighbor visualization panels (reference
-    ``storage_queue.py:13-14`` keeps full CPU images; we keep thumbnails)."""
+    """Host-side ring of uint8 thumbnails that positionally mirrors the device
+    queue: same capacity, same tail arithmetic, enqueued every step in the
+    same order the jitted step inserts keys — so NN-panel "queue" rows show
+    the actual scored negatives (reference ``storage_queue.py:13-14`` keeps
+    full CPU images in exact parallel; we keep thumbnails). After a
+    checkpoint restore the device bank is repopulated but host images are
+    gone; ``clear(tail)`` re-syncs the pointer and leaves unknown entries
+    None (panels render them black)."""
 
     def __init__(self, maxsize: int):
         self.maxsize = maxsize
@@ -146,7 +151,16 @@ class HostImageRing:
             self.sources[self.tail] = source
             self.tail = (self.tail + 1) % self.maxsize
 
-    def clear(self):
+    def fill_repeat(self, images, sources):
+        """Mirror ``fill_queue``/``fill_queue_repeat``: tile the given
+        thumbnails over the whole ring and reset the tail to 0."""
+        n = len(images)
+        for i in range(self.maxsize):
+            self.images[i] = np.asarray(images[i % n])
+            self.sources[i] = sources[i % n]
+        self.tail = 0
+
+    def clear(self, tail: int = 0):
         self.images = [None] * self.maxsize
         self.sources = [None] * self.maxsize
-        self.tail = 0
+        self.tail = tail % self.maxsize

@@ -18,13 +18,27 @@ def main(argv=None):
     parser.add_argument("--output-path", required=True)
     args = parser.parse_args(argv)
 
+    shards = []
     with open(args.urls_file) as f:
-        urls = [line.strip() for line in f if line.strip()]
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            # info_files/r2v2_drive_urls.txt rows are "<shard-tag> <url>";
+            # tolerate bare-URL lists too
+            if len(parts) == 2:
+                shards.append((parts[0], parts[1]))
+            else:
+                shards.append((f"{len(shards):04d}", parts[0]))
     os.makedirs(args.output_path, exist_ok=True)
-    for i, url in enumerate(urls):
-        tar_path = os.path.join(args.output_path, f"shard_{i:04d}.tar")
+    for i, (tag, url) in enumerate(shards):
+        # Drive share links ("open?id=X") need the direct-download endpoint
+        if "drive.google.com/open?id=" in url:
+            url = ("https://drive.google.com/uc?export=download&id="
+                   + url.split("id=")[-1])
+        tar_path = os.path.join(args.output_path, f"shard_{tag}.tar")
         try:
-            print(f"[{i + 1}/{len(urls)}] {url}")
+            print(f"[{i + 1}/{len(shards)}] {tag}: {url}")
             urllib.request.urlretrieve(url, tar_path)
         except OSError as e:
             print(f"download failed ({e}); offline environment?")

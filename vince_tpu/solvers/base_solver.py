@@ -100,7 +100,10 @@ class BaseSolver(abc.ABC):
 
     def reset_epoch(self):
         self.logger_iteration = 0
-        for key in ("total_time", "data_cache_time", "forward_time", "metrics_time", "backward_time"):
+        # truthful phase buckets: the jitted step (fwd+bwd+update, timed by
+        # value-fetch per CLAUDE.md), host data wait, metric/meter work,
+        # logging+saving; total = wall time (sum of the four within noise)
+        for key in ("total_time", "data_cache_time", "step_time", "metrics_time", "log_save_time"):
             self.time_meters[key] = RollingAverageMeter(self.args.log_frequency)
         for key in self.metric_keys():
             self.metric_meters[key] = RollingAverageMeter(self.args.log_frequency)

@@ -29,7 +29,7 @@ from vince_tpu.solvers.end_task_step import (
     make_end_task_train_step,
 )
 from vince_tpu.utils.checkpoint import CheckpointManager
-from vince_tpu.utils.meters import AverageMeter, Stopwatch
+from vince_tpu.utils.meters import Stopwatch
 
 
 class EndTaskBaseSolver(BaseSolver):
@@ -122,7 +122,8 @@ class EndTaskBaseSolver(BaseSolver):
             compute_dtype=dtype,
             data_axis_size=md,
             head_lr_scales=self.head_lr_scales,
-            bn_fold=getattr(args, "bn_fold", "expand"),
+            bn_fold=getattr(args, "bn_fold", "none"),  # ad-hoc args match the model-class default; the CLI parser supplies "expand"
+            norm_kind=getattr(args, "norm_kind", "batchnorm"),
         )
 
     def setup_model(self):
@@ -156,6 +157,9 @@ class EndTaskBaseSolver(BaseSolver):
         self.state = jax.device_put(state, jax.tree_util.tree_map(lambda _: repl, state))
         self.train_step = make_end_task_train_step(self.cfg, self.optimizer, self.mesh, train=True)
         self.eval_step = make_end_task_train_step(self.cfg, self.optimizer, self.mesh, train=False)
+        self.metric_step = make_end_task_train_step(
+            self.cfg, self.optimizer, self.mesh, train=False, per_sample=True
+        )
         self._batch_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
 
     def setup_optimizer(self):
@@ -195,8 +199,10 @@ class EndTaskBaseSolver(BaseSolver):
         batch = self.convert_batch(self.train_loader.get_batch())
         self.time_meters["data_cache_time"].update(watch.lap())
         self.state, metrics = self.train_step(self.state, batch, self._step_rng)
+        # value fetch = the reliable device sync (CLAUDE.md); this lap times
+        # the whole jitted step
         metrics = jax.device_get(metrics)
-        self.time_meters["forward_time"].update(watch.lap())
+        self.time_meters["step_time"].update(watch.lap())
         self.log_step_metrics(metrics)
         self.time_meters["metrics_time"].update(watch.lap())
         if self.args.save and self.logger_iteration > 0 and (
@@ -205,25 +211,96 @@ class EndTaskBaseSolver(BaseSolver):
             self.save()
         self.iteration += self.args.batch_size
         self.logger_iteration += 1
+        self.time_meters["log_save_time"].update(watch.lap())
+        self.time_meters["total_time"].update(watch.total())
         return metrics
 
-    def run_val(self, max_batches: int = 50):
-        meters: Dict[str, AverageMeter] = {}
-        for _ in range(max_batches):
-            batch = self.convert_batch(self.val_loader.get_batch())
-            metrics = jax.device_get(self.eval_step(self.state, batch, self._step_rng))
-            for k, v in metrics.items():
-                meters.setdefault(k, AverageMeter()).update(float(np.asarray(v)))
-        results = {k: m.value for k, m in meters.items()}
+    def _items_per_batch(self) -> int:
+        return self.args.batch_size // max(self.args.num_frames, 1)
+
+    def _fresh_val_loader(self):
+        """A one-shot (non-cycling, unshuffled) loader over a freshly built
+        val dataset — the reference's rebuilt val dataloader
+        (``end_task_base_solver.py:402-417``)."""
+        ds = self._make_dataset("val")
+        loader = PersistentDataLoader(
+            batch_size=self._items_per_batch(),
+            num_workers=min(self.args.num_workers, 8),
+            shuffle=False,
+            never_ending=False,
+        )
+        loader.set_dataset(ds)
+        return ds, loader
+
+    @staticmethod
+    def _pad_host_batch(hb: Dict[str, np.ndarray], target_items: int, n_items: int):
+        """Pad a partial final batch to the static batch shape by cycling its
+        items (padded rows are excluded from aggregation via valid counts)."""
+        if n_items == target_items:
+            return hb
+        idx = np.arange(target_items) % n_items
+        out = {}
+        for k, v in hb.items():
+            if isinstance(v, np.ndarray) and v.ndim >= 1 and v.shape[0] % n_items == 0:
+                rows = v.shape[0] // n_items
+                vi = v.reshape((n_items, rows) + v.shape[1:])
+                out[k] = vi[idx].reshape((target_items * rows,) + v.shape[1:])
+            else:
+                out[k] = v
+        return out
+
+    def run_val(self, max_batches: Optional[int] = None, loader=None, dataset=None):
+        """One complete pass over the val set (reference
+        ``end_task_base_solver.py:305-400``): epoch-sized —
+        ``ceil(len(val)/items_per_batch)`` batches — with the final partial
+        batch padded to the static shape and aggregated by exact per-sample
+        weighting (``metric_step`` returns per-sample arrays)."""
+        own_loader = loader is None
+        if own_loader:
+            dataset, loader = self._fresh_val_loader()
+        items = self._items_per_batch()
+        label_keys = ("classifier_labels", "labels", "imagenet_labels")
+        sums: Dict[str, float] = {}
+        n_samples = 0
+        n_batches = 0
+        try:
+            for hb in loader:
+                label_key = next(k for k in label_keys if k in hb)
+                n_items = len(hb[label_key])
+                hb = self._pad_host_batch(hb, items, n_items)
+                batch = self.convert_batch(hb)
+                per = jax.device_get(self.metric_step(self.state, batch, self._step_rng))
+                for k, v in per.items():
+                    sums[k] = sums.get(k, 0.0) + float(np.asarray(v)[:n_items].sum())
+                n_samples += n_items
+                n_batches += 1
+                if max_batches is not None and n_batches >= max_batches:
+                    break
+        finally:
+            if own_loader:
+                loader.shutdown()
+        if dataset is not None and max_batches is None:
+            expected = int(np.ceil(len(dataset) / items))
+            assert n_batches == expected, (n_batches, expected, len(dataset), items)
+        self.last_val_batches = n_batches
+        self.last_val_samples = n_samples
+        results = {k: s / max(n_samples, 1) for k, s in sums.items()}
         if self.val_logger is not None:
             self.val_logger.dict_log(
                 {f"epoch/{self.full_name}/{k}": v for k, v in results.items()}, self.iteration
             )
-        print("val:", {k: round(v, 4) for k, v in results.items()})
+        print(f"val ({n_samples} samples, {n_batches} batches):",
+              {k: round(v, 4) for k, v in results.items()})
         return results
 
     def run_eval(self):
-        return self.run_val()
+        """Rebuild the val loader and run one complete val pass (reference
+        ``end_task_base_solver.py:402-417``)."""
+        dataset, loader = self._fresh_val_loader()
+        try:
+            return self.run_val(loader=loader, dataset=dataset)
+        finally:
+            loader.shutdown()
 
     def save(self, num_to_keep: int = 5):
         if self.args.save:

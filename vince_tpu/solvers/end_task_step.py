@@ -51,6 +51,7 @@ class EndTaskConfig:
     # per-head LR decades: ImageNet probes use lr·0.01^m (:30-41); SUN equal
     head_lr_scales: Tuple[float, ...] = (1.0, 0.01)
     bn_fold: str = "expand"  # 1×1-dot BN folding (matters for fine-tune mode)
+    norm_kind: str = "batchnorm"  # must match the pretrain checkpoint
 
 
 @flax.struct.dataclass
@@ -69,6 +70,7 @@ def build_models(cfg: EndTaskConfig):
         use_attention=cfg.use_attention,
         dtype=cfg.compute_dtype,
         bn_fold=cfg.bn_fold,
+        norm_kind=cfg.norm_kind,
     )
     if cfg.task == "classifier":
         decoder = MultiLinearModel(cfg.num_classes)
@@ -172,13 +174,21 @@ def _extract(encoder, params, batch_stats, images, train, frozen, spatial=False)
     return feats, mut["batch_stats"]
 
 
-def make_end_task_train_step(cfg: EndTaskConfig, optimizer, mesh, train: bool = True):
+def make_end_task_train_step(
+    cfg: EndTaskConfig, optimizer, mesh, train: bool = True, per_sample: bool = False
+):
     """(state, batch, rng) → (state', metrics). batch dict (data-sharded):
       classifier: {"data" uint8 [B,H,W,3], "labels" int32 [B]}
       kinetics:   {"data" uint8 [B*T,H,W,3] frame-major, "labels" [B]}
       tracking:   {"exemplar" uint8 [B,hz,wz,3], "search" [B,hx,wx,3],
                    "labels" float [B,hy,wy,1] response maps}
+
+    ``per_sample=True`` (eval only) returns per-sample ``[B]`` metric arrays
+    in input row order instead of batch means — the full-epoch val pass
+    (reference ``end_task_base_solver.py:305-400``) uses this to weight a
+    padded final batch exactly.
     """
+    assert not (train and per_sample)
     encoder, decoder = build_models(cfg)
     frozen = cfg.freeze_feature_extractor
 
@@ -269,7 +279,7 @@ def make_end_task_train_step(cfg: EndTaskConfig, optimizer, mesh, train: bool = 
             xf, _ = _extract(encoder, state.encoder_params, state.encoder_batch_stats,
                              x_img.astype(cfg.compute_dtype), False, True, spatial=True)
             responses = decoder.apply({"params": state.decoder_params}, zf, xf)
-            out = tracking_losses(responses[..., 0], batch["labels"])
+            out = tracking_losses(responses[..., 0], batch["labels"], reduce=not per_sample)
         else:
             images = augment_batch(step_rng, batch["data"], tcfg, train=False, dtype=cfg.compute_dtype)
             feats, _ = _extract(
@@ -281,11 +291,13 @@ def make_end_task_train_step(cfg: EndTaskConfig, optimizer, mesh, train: bool = 
                 assert logits.shape[0] == batch["labels"].shape[0], (
                     logits.shape, batch["labels"].shape
                 )
-                out = kinetics_losses(logits, batch["labels"])
+                out = kinetics_losses(logits, batch["labels"], reduce=not per_sample)
             else:
                 logits = decoder.apply({"params": state.decoder_params}, feats)
-                out = classifier_losses(logits, batch["labels"])
+                out = classifier_losses(logits, batch["labels"], reduce=not per_sample)
         out["loss/total_loss"] = sum(v for k, v in out.items() if k.startswith("loss/"))
+        if per_sample:
+            return out  # [B_local] rows; shard_map concatenates in device order
         return lax.pmean(out, DATA_AXIS)
 
     local = step_local if train else eval_local
@@ -293,7 +305,12 @@ def make_end_task_train_step(cfg: EndTaskConfig, optimizer, mesh, train: bool = 
     def wrapped(state, batch, rng):
         specs = jax.tree_util.tree_map(lambda _: P(), state)
         batch_specs = jax.tree_util.tree_map(lambda _: P(DATA_AXIS), batch)
-        out_specs = (specs, P()) if train else P()
+        if train:
+            out_specs = (specs, P())
+        elif per_sample:
+            out_specs = P(DATA_AXIS)
+        else:
+            out_specs = P()
         fn = jax.shard_map(
             local, mesh=mesh,
             in_specs=(specs, batch_specs, P()),

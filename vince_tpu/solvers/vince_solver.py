@@ -33,6 +33,7 @@ from vince_tpu.solvers.vince_step import (
     init_vince_state,
     make_embed_fn,
     make_eval_step,
+    make_panel_fn,
     make_train_step,
     shard_state,
 )
@@ -153,7 +154,8 @@ class VinceSolver(BaseSolver):
             sync_bn=getattr(args, "sync_bn", False),
             remat=getattr(args, "remat", False),
             stem_kind=getattr(args, "stem_kind", "s2d"),
-            bn_fold=getattr(args, "bn_fold", "expand"),
+            bn_fold=getattr(args, "bn_fold", "none"),  # ad-hoc args match the model-class default; the CLI parser supplies "expand"
+            norm_kind=getattr(args, "norm_kind", "batchnorm"),
         )
         self.optimizer = self._build_optimizer()
         state = init_vince_state(jax.random.PRNGKey(getattr(args, "seed", 0)), self.cfg, self.optimizer)
@@ -213,8 +215,15 @@ class VinceSolver(BaseSolver):
         self.eval_step = make_eval_step(self.cfg, self.mesh)
         self.embed_fn = make_embed_fn(self.cfg, self.mesh)
         self.key_embed_fn = make_embed_fn(self.cfg, self.mesh, use_key_encoder=True)
+        self.panel_fn = make_panel_fn(self.cfg, self.mesh)
         self._batch_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
-        self.image_ring = HostImageRing(min(self.cfg.queue_size, 4096))
+        # positional mirror of the device queue (one thumbnail per bank row);
+        # subsample harder for big banks to bound host memory (~28px thumbs
+        # at q=65536 ≈ 150 MB — the reference kept FULL images at that size)
+        self.image_ring = HostImageRing(self.cfg.queue_size)
+        self._thumb_stride = 4 if self.cfg.queue_size <= 8192 else 8
+        if getattr(self, "_queue_restored", False):
+            self.image_ring.clear(tail=int(np.asarray(self.state.queue.tail)))
         self._np_rng = np.random.RandomState(1234)
 
         if not self.args.disable_dataloader and not getattr(self, "_queue_restored", False):
@@ -222,10 +231,9 @@ class VinceSolver(BaseSolver):
 
     def _build_optimizer(self):
         # reference setup_optimizer: SGD(lr, wd=1e-4, momentum=0.9) :252-265
-        return optax.chain(
-            optax.add_decayed_weights(1e-4),
-            optax.sgd(self.lr_schedule, momentum=0.9),
-        )
+        from vince_tpu.solvers.vince_step import build_vince_optimizer
+
+        return build_vince_optimizer(self.lr_schedule)
 
     def setup_optimizer(self):
         pass  # built in setup_model (the jitted step closes over it)
@@ -276,33 +284,49 @@ class VinceSolver(BaseSolver):
         )
         self.state = self.state.replace(queue=new_queue)
 
+    def _host_thumbs(self, host_batches):
+        """Per-key thumbnails + source names, in device enqueue order."""
+        thumbs, names = [], []
+        s = self._thumb_stride
+        for spec, hb in zip(self.sources, host_batches):
+            thumbs.extend(list(hb["queue_data"][:, ::s, ::s]))
+            names.extend([spec.name] * len(hb["queue_data"]))
+        return thumbs, names
+
     def fill_queue(self):
         """Prefill the bank from many distinct key batches (reference
         vince_solver.py:293-313; leaves the ring marked full)."""
         k = self.cfg.queue_size
         keys, srcs, n = [], [], 0
+        thumbs, names = [], []
         print("Filling queue")
         while n < k:
-            device_batch, _ = self.get_batch()
+            device_batch, host_batches = self.get_batch()
             e, s = self._embed_batch_keys(device_batch)
             keys.append(e)
             srcs.append(s)
+            t, nm = self._host_thumbs(host_batches)
+            thumbs.extend(t)
+            names.extend(nm)
             n += len(e)
         self._write_queue(
             np.concatenate(keys)[:k], np.concatenate(srcs)[:k], tail=0, total=k
         )
+        self.image_ring.fill_repeat(thumbs[:k], names[:k])
         print("Queue filled")
 
     def fill_queue_repeat(self):
         """Prefill the bank by repeating one key batch (reference
         vince_solver.py:315-333: tail reset to 0, full flag cleared)."""
-        device_batch, _ = self.get_batch()
+        device_batch, host_batches = self.get_batch()
         keys, srcs = self._embed_batch_keys(device_batch)
         k = self.cfg.queue_size
         reps = int(np.ceil(k / len(keys)))
         bank = np.tile(keys, (reps, 1))[:k]
         sources = np.tile(srcs, reps)[:k]
         self._write_queue(bank, sources, tail=0, total=0)
+        thumbs, names = self._host_thumbs(host_batches)
+        self.image_ring.fill_repeat(thumbs, names)
         print("Queue filled with repeats")
 
     # ----------------------------------------------------------------- train
@@ -348,17 +372,21 @@ class VinceSolver(BaseSolver):
         else:
             step_fn = self.train_step
         self.state, metrics = step_fn(self.state, device_batch, self._step_rng)
+        # value fetch — the only reliable device sync on this stack
+        # (CLAUDE.md); this lap therefore times the whole jitted step
+        # (augment + both forwards + backward + update + enqueue + EMA)
         metrics = jax.device_get(metrics)
-        self.time_meters["forward_time"].update(watch.lap())
+        self.time_meters["step_time"].update(watch.lap())
 
         self.log_step_metrics(metrics)
         self.time_meters["metrics_time"].update(watch.lap())
 
-        # host-side image ring for NN visualization panels
-        for spec, hb in zip(self.sources, host_batches):
-            if self.logger_iteration % 50 == 0:
-                thumbs = hb["queue_data"][:, ::4, ::4]
-                self.image_ring.enqueue(list(thumbs), spec.name)
+        # host-side image ring: exact parallel thumbnails for every enqueued
+        # key, same order/tail arithmetic as the device enqueue (reference
+        # storage_queue.py:13-14 stores the images alongside the vectors)
+        thumbs, names = self._host_thumbs(host_batches)
+        for t, nm in zip(thumbs, names):
+            self.image_ring.enqueue([t], nm)
 
         if (
             self.train_logger is not None
@@ -374,21 +402,17 @@ class VinceSolver(BaseSolver):
 
         self.iteration += self.args.batch_size
         self.logger_iteration += 1
-        self.time_meters["backward_time"].update(watch.lap())
-        self.time_meters["total_time"].update(
-            sum(m.values[-1] if m.values else 0.0 for m in (
-                self.time_meters["data_cache_time"],
-                self.time_meters["forward_time"],
-                self.time_meters["metrics_time"],
-            ))
-        )
+        self.time_meters["log_save_time"].update(watch.lap())
+        self.time_meters["total_time"].update(watch.total())
         return metrics
 
     def log_images(self, host_batches):
         """Tensorboard image panels (reference get_image_output,
-        vince_model.py:351-570): input pair grids + top-9 NN panels. Uses the
-        val-path device embeddings of the raw host canvases (the reference
-        embeds the augmented batch; panel content is equivalent for QA)."""
+        vince_model.py:351-570): input pair grids (:355-382), top-9 NN panels
+        (:384-473), ImageNet prediction grids (:475-520), attention overlays
+        (:522-568). Uses the val-path device embeddings of the raw host
+        canvases (the reference embeds the augmented batch; panel content is
+        equivalent for QA)."""
         import jax.numpy as jnp
 
         from vince_tpu.visualizations import panels
@@ -401,9 +425,9 @@ class VinceSolver(BaseSolver):
             self.train_logger.image_summary(
                 f"{self.full_name}_inputs/{spec.name}", grid, self.iteration
             )
-            q_emb, _ = self.embed_fn(self.state, jnp.asarray(data))
+            q_out = jax.device_get(self.panel_fn(self.state, jnp.asarray(data)))
             k_emb, _ = self.key_embed_fn(self.state, jnp.asarray(keys))
-            q = np.asarray(jax.device_get(q_emb))
+            q = np.asarray(q_out["embeddings"])
             k = np.asarray(jax.device_get(k_emb))
             sims = q @ np.concatenate([k, queue_vecs]).T
             groups_q = np.arange(len(q)) // spec.num_frames
@@ -417,6 +441,31 @@ class VinceSolver(BaseSolver):
             self.train_logger.image_summary(
                 f"{self.full_name}_outputs/{spec.name}", panel, self.iteration
             )
+            # supervised-decoder prediction grid (reference :475-520)
+            if spec.use_imagenet_ce and "imagenet_logits_0" in q_out and (
+                "imagenet_labels" in hb
+            ):
+                pred = panels.imagenet_prediction_grid(
+                    data,
+                    np.asarray(q_out["imagenet_logits_0"]),
+                    np.asarray(hb["imagenet_labels"], np.int64),
+                    rng=self._np_rng,
+                )
+                self.train_logger.image_summary(
+                    f"{self.full_name}_predictions/{spec.name}", pred, self.iteration
+                )
+            # attention-pool overlays (reference :522-568)
+            if "attention_masks" in q_out:
+                k_out = jax.device_get(self.panel_fn(self.state, jnp.asarray(keys)))
+                att = panels.attention_panel(
+                    data, keys,
+                    np.asarray(q_out["attention_masks"]),
+                    np.asarray(k_out["attention_masks"]),
+                    rng=self._np_rng,
+                )
+                self.train_logger.image_summary(
+                    f"{self.full_name}_attention/{spec.name}", att, self.iteration
+                )
 
     # ------------------------------------------------------------------- val
     def run_val(self, max_seconds: float = 300.0, max_batches: int = 50):

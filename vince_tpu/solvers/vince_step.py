@@ -124,6 +124,18 @@ class VinceState:
     queue: QueueState
 
 
+def build_vince_optimizer(lr_schedule) -> optax.GradientTransformation:
+    """The pretraining optimizer (reference setup_optimizer,
+    vince_solver.py:252-265: SGD lr-schedule, wd=1e-4, momentum 0.9). Pass a
+    *schedule* (callable), not a float — checkpointed opt_state structure
+    depends on it, and every producer of VinceState checkpoints (solver,
+    converter tools) must agree."""
+    return optax.chain(
+        optax.add_decayed_weights(1e-4),
+        optax.sgd(lr_schedule, momentum=0.9),
+    )
+
+
 def build_encoder(cfg: VinceConfig) -> VinceEncoder:
     return VinceEncoder(
         backbone_name=cfg.backbone,
@@ -567,5 +579,48 @@ def make_embed_fn(cfg: VinceConfig, mesh, use_key_encoder: bool = False):
             check_vma=False,
         )
         return fn(params, batch_stats, images)
+
+    return jax.jit(wrapped)
+
+
+def make_panel_fn(cfg: VinceConfig, mesh):
+    """Jitted visualization forward for the training-loop image panels: uint8
+    images [B, H, W, 3] (data-sharded) → dict with ``embeddings`` and, when
+    the heads exist, ``attention_masks`` (--use-attention) and the supervised
+    ImageNet decoder logits — everything the reference's ``get_image_output``
+    consumes (vince_model.py:475-568)."""
+    model = build_encoder(cfg)
+    has_decoders = any(s.use_imagenet_ce for s in cfg.sources)
+
+    def panel_local(params, batch_stats, images):
+        from vince_tpu.ops.augment import AugmentConfig, _finalize
+
+        imgs = _finalize(images.astype(jnp.float32) / 255.0, AugmentConfig())
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            imgs.astype(cfg.compute_dtype), train=False,
+        )
+        res = {"embeddings": out["embeddings"].astype(jnp.float32)}
+        if "attention_masks" in out:
+            res["attention_masks"] = out["attention_masks"].astype(jnp.float32)
+        if has_decoders:
+            l0, l1 = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                out["extracted_features"],
+                method=VinceEncoder.imagenet_logits,
+            )
+            res["imagenet_logits_0"] = l0.astype(jnp.float32)
+            res["imagenet_logits_1"] = l1.astype(jnp.float32)
+        return res
+
+    def wrapped(state: VinceState, images):
+        fn = jax.shard_map(
+            panel_local,
+            mesh=mesh,
+            in_specs=(P(), P(), P(DATA_AXIS)),
+            out_specs=P(DATA_AXIS),
+            check_vma=False,
+        )
+        return fn(state.params, state.batch_stats, images)
 
     return jax.jit(wrapped)

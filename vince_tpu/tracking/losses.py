@@ -37,8 +37,16 @@ def balanced_loss(logits: jax.Array, target: jax.Array, neg_weight: float = 1.0)
     return jnp.sum(bce * weight)
 
 
-def focal_loss(logits: jax.Array, target: jax.Array, gamma: float = 2.0) -> jax.Array:
-    """Reference losses.py:39-57 (incl. the mean-weight renormalization)."""
+def focal_loss(
+    logits: jax.Array, target: jax.Array, gamma: float = 2.0, reduce: bool = True
+) -> jax.Array:
+    """Reference losses.py:39-57 (incl. the mean-weight renormalization).
+
+    ``reduce=False`` returns a per-sample ``[B]`` loss with the weight
+    renormalization computed per sample instead of over the whole batch
+    (full-epoch val weighting; differs from the batch loss only through the
+    renorm constant).
+    """
     target = target.astype(jnp.float32)
     pos_log_sig = log_sigmoid(logits)
     neg_log_sig = log_minus_sigmoid(logits)
@@ -47,8 +55,12 @@ def focal_loss(logits: jax.Array, target: jax.Array, gamma: float = 2.0) -> jax.
     neg_weight = prob ** gamma
     loss = -(target * pos_weight * pos_log_sig + (1 - target) * neg_weight * neg_log_sig)
     avg_weight = target * pos_weight + (1 - target) * neg_weight
-    loss = loss / jnp.maximum(avg_weight.mean(), 1e-12)
-    return loss.mean()
+    if reduce:
+        loss = loss / jnp.maximum(avg_weight.mean(), 1e-12)
+        return loss.mean()
+    axes = tuple(range(1, loss.ndim))
+    per_sample = loss.mean(axes) / jnp.maximum(avg_weight.mean(axes), 1e-12)
+    return per_sample
 
 
 def ghmc_loss(

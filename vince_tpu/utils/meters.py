@@ -52,9 +52,11 @@ class Stopwatch:
 
         self._time = time
         self._t: Optional[float] = None
+        self._t0: Optional[float] = None
 
     def start(self):
         self._t = self._time.perf_counter()
+        self._t0 = self._t
         return self
 
     def lap(self) -> float:
@@ -62,3 +64,9 @@ class Stopwatch:
         dt = now - (self._t if self._t is not None else now)
         self._t = now
         return dt
+
+    def total(self) -> float:
+        """Wall time since start() — the sum of all laps plus any un-lapped
+        remainder; the truthful total_time bucket."""
+        now = self._time.perf_counter()
+        return now - (self._t0 if self._t0 is not None else now)

@@ -25,7 +25,10 @@ def _load_class_names(filename: str):
 
 def imagenet_label_to_class(label: int) -> str:
     names = _load_class_names("imagenet_classes.txt")
-    return names[int(label)] if names else f"class_{int(label)}"
+    if not names:
+        return f"class_{int(label)}"
+    # table rows are synonym lists ("tench, Tinca tinca,"); show the first
+    return names[int(label)].rstrip(",").split(",")[0]
 
 
 def sun_scene_label_to_class(label: int) -> str:
