@@ -29,6 +29,7 @@ cfg = VinceConfig(
     compute_dtype=jnp.bfloat16, data_axis_size=1, queue_axis_size=1,
     shuffle_bn=True,
     bn_fold=os.environ.get("PROF_BN_FOLD", "expand"),  # match production default
+    fold_kernel=bool(int(os.environ.get("PROF_FOLD_KERNEL", "0"))),
 )
 mesh = make_mesh(MeshSpec(1, 1))
 opt = optax.chain(optax.add_decayed_weights(1e-4), optax.sgd(0.03, momentum=0.9))

@@ -198,7 +198,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--synthetic-num-videos", type=int, default=512)
     parser.add_argument(
         "--use-fused-infonce", action="store_true",
-        help="Use the Pallas streaming queue kernel for InfoNCE scoring.",
+        help="Force the Pallas streaming queue kernel for InfoNCE scoring. "
+        "Auto-enabled for --vince-queue-size > 65536, where it beats the XLA "
+        "path (neutral at 65536; +27%% at 1M — docs/PERFORMANCE.md).",
     )
     parser.add_argument(
         "--profile-dir", type=str, default="",

@@ -35,6 +35,9 @@ class FoldCfg(NamedTuple):
     epsilon: float
     dtype: Any
     axis_name: Optional[str]
+    # route the bn2→relu→conv3 chain through the Pallas fused
+    # affine+relu+dot+moments kernel (see fused_bn_relu_folded_dot)
+    use_kernel: bool = False
 
 
 class StemConvS2D(nn.Module):
@@ -249,6 +252,86 @@ def folded_dot_bn(
     return act(y) if act is not None else y
 
 
+def fused_bn_relu_folded_dot(
+    y: jax.Array,  # RAW pre-activation (conv2 output), [N, H, W, C]
+    features: int,
+    cfg: FoldCfg,
+    *,
+    in_bn_name: str,
+    conv_name: str,
+    bn_name: str,
+    act: Any = None,
+    residual: Optional[jax.Array] = None,
+    scale_init: Any = nn.initializers.ones,
+) -> jax.Array:
+    """The whole ``bn2 → relu → conv3(1×1) → bn3`` chain with ONE HBM pass
+    over the pre-activation.
+
+    XLA fuses elementwise producers into convolutions but not into dots, so
+    the folded conv3 path materializes x̂ = relu(bn2(y)) and reads it for the
+    main dot and the moment dots. Here bn2's batch stats come from one reduce
+    over raw ``y`` (fusable into conv2's epilogue), and the Pallas kernel
+    ``affine_relu_dot_moments`` applies bn2's affine + ReLU in registers while
+    computing both the main dot and x̂'s moments — x̂ never exists in HBM.
+    Same math and param tree as ``nn.BatchNorm(bn2) + relu + folded_dot_bn``;
+    bn3's scale lands as a per-channel epilogue on the dot output (fused into
+    the residual-add/ReLU consumer).
+    """
+    from vince_tpu.ops.pallas.folded_dot_kernel import affine_relu_dot_moments
+
+    c = y.shape[-1]
+    batch_dims = tuple(range(y.ndim - 1))
+    n = jnp.asarray(math.prod(y.shape[d] for d in batch_dims), jnp.float32)
+    in_bn = _BNStateParam(c, cfg.momentum, name=in_bn_name)
+    kernel = _ConvKernelParam((1, 1, c, features), name=conv_name)()
+    w = kernel[0, 0]  # [C, F] f32
+    bn = _BNStateParam(features, cfg.momentum, scale_init=scale_init, name=bn_name)
+
+    if cfg.train:
+        y32 = y.astype(jnp.float32)
+        s1y = jnp.sum(y32, axis=batch_dims)
+        s2y = jnp.sum(y32 * y32, axis=batch_dims)
+        if cfg.axis_name is not None:
+            s1y = jax.lax.psum(s1y, cfg.axis_name)
+            s2y = jax.lax.psum(s2y, cfg.axis_name)
+            n = n * jax.lax.psum(1, cfg.axis_name)
+        mu2 = s1y / n
+        var2 = jnp.maximum(s2y / n - mu2 * mu2, 0.0)
+        scale2, bias2, mu2, var2 = in_bn(mu2, var2)
+    else:
+        scale2, bias2, mu2, var2 = in_bn(None, None)
+    a2 = scale2 * jax.lax.rsqrt(var2 + cfg.epsilon)
+    b2 = bias2 - mu2 * a2
+
+    if cfg.train:
+        yflat = y.reshape(-1, c).astype(cfg.dtype)
+        out_raw, s1, s2 = affine_relu_dot_moments(yflat, a2, b2, w)
+        if cfg.axis_name is not None:
+            s1 = jax.lax.psum(s1, cfg.axis_name)
+            s2 = jax.lax.psum(s2, cfg.axis_name)
+        mu3 = (s1 / n) @ w
+        var3 = jnp.maximum(jnp.sum((s2 @ w) * w, axis=0) / n - mu3 * mu3, 0.0)
+        scale3, bias3, mu3, var3 = bn(mu3, var3)
+        out = out_raw.reshape(y.shape[:-1] + (features,))
+    else:
+        scale3, bias3, mu3, var3 = bn(None, None)
+        xh = nn.relu(y.astype(cfg.dtype) * a2.astype(cfg.dtype) + b2.astype(cfg.dtype))
+        out = jax.lax.dot_general(
+            xh, w.astype(cfg.dtype), (((y.ndim - 1,), (0,)), ((), ()))
+        )
+    a3 = scale3 * jax.lax.rsqrt(var3 + cfg.epsilon)
+    b3 = (bias3 - mu3 * a3).astype(cfg.dtype)
+    out = out * a3.astype(cfg.dtype) + b3
+    if residual is not None:
+        out = out + residual
+    return act(out) if act is not None else out
+
+
+def _kernel_site_supported(y: jax.Array, features: int) -> bool:
+    m = math.prod(y.shape[:-1])
+    return y.shape[-1] % 128 == 0 and features % 128 == 0 and m % 128 == 0
+
+
 class BasicBlock(nn.Module):
     """2×(3×3 conv) residual block — reference resnet.py:53-92."""
 
@@ -335,8 +418,6 @@ class Bottleneck(nn.Module):
             use_bias=False,
             name="conv2",
         )(y)
-        y = self.norm(name="bn2")(y)
-        y = nn.relu(y)
         if self.fold_cfg is not None:
             if self.downsample:
                 residual = folded_dot_bn(
@@ -344,12 +425,25 @@ class Bottleneck(nn.Module):
                     strides=self.strides,
                     conv_name="downsample_conv", bn_name="downsample_bn",
                 )
+            out_ch = self.filters * self.expansion
+            if self.fold_cfg.use_kernel and _kernel_site_supported(y, out_ch):
+                # one-HBM-pass bn2→relu→conv3→bn3 (Pallas); same params/math
+                return fused_bn_relu_folded_dot(
+                    y, out_ch, self.fold_cfg,
+                    in_bn_name="bn2", conv_name="conv3", bn_name="bn3",
+                    act=nn.relu, residual=residual,
+                    scale_init=nn.initializers.zeros,
+                )
+            y = self.norm(name="bn2")(y)
+            y = nn.relu(y)
             return folded_dot_bn(
                 y, self.filters * self.expansion, self.fold_cfg,
                 conv_name="conv3", bn_name="bn3",
                 act=nn.relu, residual=residual,
                 scale_init=nn.initializers.zeros,
             )
+        y = self.norm(name="bn2")(y)
+        y = nn.relu(y)
         y = Conv1x1(self.filters * self.expansion, name="conv3")(y)
         y = self.norm(name="bn3", scale_init=nn.initializers.zeros)(y)
         if self.downsample:
@@ -384,6 +478,9 @@ class ResNet(nn.Module):
     # {"none", "expand", "all"}: fold BN into 1×1 dots via derived batch stats
     # (same math, same param tree; "expand" = conv3+downsample, "all" = +conv1)
     bn_fold: str = "none"
+    # route bn2→relu→conv3 through the Pallas fused kernel (train mode,
+    # supported shapes; requires bn_fold != "none")
+    fold_kernel: bool = False
 
     @property
     def output_channels(self) -> int:
@@ -419,6 +516,7 @@ class ResNet(nn.Module):
                 epsilon=self.bn_epsilon,
                 dtype=self.dtype,
                 axis_name=self.axis_name if train else None,
+                use_kernel=self.fold_kernel,
             )
         x = x.astype(self.dtype)
         if self.stem_kind == "s2d":

@@ -50,6 +50,8 @@ class VinceEncoder(nn.Module):
     # {"none","expand","all"}: fold BN batch stats into the 1×1 dots via
     # derived input moments (same math/params; kills the pre-norm HBM trip)
     bn_fold: str = "none"
+    # Pallas fused bn2→relu→conv3 kernel at folded bottleneck sites (ResNet)
+    fold_kernel: bool = False
 
     def setup(self):
         backbone_cls = get_backbone(self.backbone_name)
@@ -57,6 +59,7 @@ class VinceEncoder(nn.Module):
         if "ResNet" in self.backbone_name:
             kwargs["norm_kind"] = self.norm_kind
             kwargs["stem_kind"] = self.stem_kind  # ResNet-only (7x7 stem)
+            kwargs["fold_kernel"] = self.fold_kernel
         self.backbone = backbone_cls(
             dtype=self.dtype, axis_name=self.bn_axis_name, name="backbone", **kwargs
         )

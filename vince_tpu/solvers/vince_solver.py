@@ -150,7 +150,10 @@ class VinceSolver(BaseSolver):
             compute_dtype=dtype,
             data_axis_size=md,
             queue_axis_size=mq,
-            use_fused_infonce=getattr(args, "use_fused_infonce", False),
+            # measured neutral at q=65536, wins ≥262144 (docs/PERFORMANCE.md):
+            # auto-enable where the streaming kernel pays
+            use_fused_infonce=getattr(args, "use_fused_infonce", False)
+            or args.vince_queue_size > 65536,
             sync_bn=getattr(args, "sync_bn", False),
             remat=getattr(args, "remat", False),
             stem_kind=getattr(args, "stem_kind", "s2d"),

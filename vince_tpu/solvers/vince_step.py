@@ -96,6 +96,8 @@ class VinceConfig:
     # downsample) is the measured optimum on v5e (70.7→64.4 ms R50 step);
     # "all" also folds conv1 but its xᵀx is 4× the main dot's FLOPs — slower.
     bn_fold: str = "expand"
+    # --fold-kernel: Pallas fused bn2→relu→conv3 at folded bottleneck sites
+    fold_kernel: bool = False
 
     @property
     def total_batch(self) -> int:
@@ -148,6 +150,7 @@ def build_encoder(cfg: VinceConfig) -> VinceEncoder:
         remat=cfg.remat,
         stem_kind=cfg.stem_kind,
         bn_fold=cfg.bn_fold,
+        fold_kernel=cfg.fold_kernel,
         bn_axis_name=DATA_AXIS if cfg.sync_bn else None,
     )
 
