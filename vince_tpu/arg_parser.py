@@ -177,6 +177,13 @@ def build_parser() -> argparse.ArgumentParser:
         "has batch statistics to fold.",
     )
     parser.add_argument(
+        "--fold-kernel", action="store_true",
+        help="EXPERIMENTAL: route bn2->relu->conv3 through the Pallas fused "
+        "dot+moments kernel at folded bottleneck sites. Measured slower than "
+        "XLA's pipelines on v5e (reshape-boundary + backward costs — "
+        "docs/PERFORMANCE.md round 2); kept for kernel research.",
+    )
+    parser.add_argument(
         "--remat", action="store_true",
         help="Rematerialize backbone residual blocks (jax.checkpoint): trades "
         "spare MXU FLOPs for HBM activation traffic; enables larger batches.",

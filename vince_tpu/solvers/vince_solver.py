@@ -159,6 +159,7 @@ class VinceSolver(BaseSolver):
             stem_kind=getattr(args, "stem_kind", "s2d"),
             bn_fold=getattr(args, "bn_fold", "none"),  # ad-hoc args match the model-class default; the CLI parser supplies "expand"
             norm_kind=getattr(args, "norm_kind", "batchnorm"),
+            fold_kernel=getattr(args, "fold_kernel", False),
         )
         self.optimizer = self._build_optimizer()
         state = init_vince_state(jax.random.PRNGKey(getattr(args, "seed", 0)), self.cfg, self.optimizer)
