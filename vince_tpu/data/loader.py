@@ -183,7 +183,15 @@ class PersistentDataLoader:
         while not self._stop.is_set():
             indices = self._next_indices()
             if indices is None:
-                self._queue.put(None)
+                # end-of-data sentinel: bounded put must stay interruptible —
+                # a blocking put would leave this thread stuck forever if the
+                # consumer stops draining (e.g. run_val hit max_batches)
+                while not self._stop.is_set():
+                    try:
+                        self._queue.put(None, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
                 return
             items = []
             for i in indices:

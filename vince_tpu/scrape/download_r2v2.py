@@ -33,9 +33,13 @@ def main(argv=None):
     os.makedirs(args.output_path, exist_ok=True)
     for i, (tag, url) in enumerate(shards):
         # Drive share links ("open?id=X") need the direct-download endpoint
-        if "drive.google.com/open?id=" in url:
-            url = ("https://drive.google.com/uc?export=download&id="
-                   + url.split("id=")[-1])
+        if "drive.google.com/open?" in url:
+            from urllib.parse import parse_qs, urlparse
+
+            qs = parse_qs(urlparse(url).query)
+            if qs.get("id"):
+                url = ("https://drive.google.com/uc?export=download&id="
+                       + qs["id"][0])
         tar_path = os.path.join(args.output_path, f"shard_{tag}.tar")
         try:
             print(f"[{i + 1}/{len(shards)}] {tag}: {url}")

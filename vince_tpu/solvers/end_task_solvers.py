@@ -68,10 +68,8 @@ class EndTaskBaseSolver(BaseSolver):
             use_processes=getattr(self.args, "loader_processes", False),
         )
         self.train_loader.set_dataset(self._make_dataset("train"))
-        self.val_loader = PersistentDataLoader(
-            batch_size=items, num_workers=min(self.args.num_workers, 8), never_ending=True
-        )
-        self.val_loader.set_dataset(self._make_dataset("val"))
+        # val loaders are one-shot, built per pass (_fresh_val_loader) — a
+        # persistent never-ending val loader would prefetch forever unused
 
     # ----------------------------------------------------------------- model
     def _pretrain_checkpoint_dir(self) -> str:
@@ -156,7 +154,6 @@ class EndTaskBaseSolver(BaseSolver):
         repl = NamedSharding(self.mesh, P())
         self.state = jax.device_put(state, jax.tree_util.tree_map(lambda _: repl, state))
         self.train_step = make_end_task_train_step(self.cfg, self.optimizer, self.mesh, train=True)
-        self.eval_step = make_end_task_train_step(self.cfg, self.optimizer, self.mesh, train=False)
         self.metric_step = make_end_task_train_step(
             self.cfg, self.optimizer, self.mesh, train=False, per_sample=True
         )
@@ -265,7 +262,12 @@ class EndTaskBaseSolver(BaseSolver):
         n_batches = 0
         try:
             for hb in loader:
-                label_key = next(k for k in label_keys if k in hb)
+                label_key = next((k for k in label_keys if k in hb), None)
+                if label_key is None:
+                    raise ValueError(
+                        f"val batch has none of the label keys {label_keys}: "
+                        f"{sorted(hb)}"
+                    )
                 n_items = len(hb[label_key])
                 hb = self._pad_host_batch(hb, items, n_items)
                 batch = self.convert_batch(hb)

@@ -289,11 +289,15 @@ class VinceSolver(BaseSolver):
         self.state = self.state.replace(queue=new_queue)
 
     def _host_thumbs(self, host_batches):
-        """Per-key thumbnails + source names, in device enqueue order."""
+        """Per-key thumbnails + source names, in device enqueue order.
+
+        Thumbnails are materialized copies: a strided view would pin the full
+        [B, H, W, 3] host batch alive for as long as the ring holds the row
+        (q/B batches ≈ 12 GB at the headline config)."""
         thumbs, names = [], []
         s = self._thumb_stride
         for spec, hb in zip(self.sources, host_batches):
-            thumbs.extend(list(hb["queue_data"][:, ::s, ::s]))
+            thumbs.extend(np.ascontiguousarray(hb["queue_data"][:, ::s, ::s]))
             names.extend([spec.name] * len(hb["queue_data"]))
         return thumbs, names
 

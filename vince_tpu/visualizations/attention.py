@@ -27,24 +27,32 @@ def attention_grid(solver, dataset, num_images: int, batch_size: int) -> np.ndar
     blocks: List[np.ndarray] = []
     n = min(num_images, len(dataset))
     batch: List[np.ndarray] = []
+
+    def flush():
+        valid = len(batch)
+        while len(batch) < batch_size:
+            batch.append(batch[-1])
+        arr = np.stack(batch)
+        out = jax.device_get(solver.panel_fn(solver.state, jnp.asarray(arr)))
+        masks = np.asarray(out["attention_masks"])
+        h, w = arr.shape[1:3]
+        for b in range(valid):
+            pair = [arr[b], attention_overlay(arr[b], masks[b])]
+            blocks.append(subplot(pair, 1, 2, w, h))
+        batch.clear()
+
     for i in range(n):
         item = dataset[i]
-        if item is None:
+        if item is None:  # tolerate failed reads; tail flushed after the loop
             continue
         img = item["data"][0] if item["data"].ndim == 4 else item["data"]
         batch.append(img)
-        if len(batch) == batch_size or i == n - 1:
-            valid = len(batch)
-            while len(batch) < batch_size:
-                batch.append(batch[-1])
-            arr = np.stack(batch)
-            out = jax.device_get(solver.panel_fn(solver.state, jnp.asarray(arr)))
-            masks = np.asarray(out["attention_masks"])
-            h, w = arr.shape[1:3]
-            for b in range(valid):
-                pair = [arr[b], attention_overlay(arr[b], masks[b])]
-                blocks.append(subplot(pair, 1, 2, w, h))
-            batch = []
+        if len(batch) == batch_size:
+            flush()
+    if batch:
+        flush()
+    if not blocks:
+        raise ValueError("no readable images in the dataset")
     h2, w2 = blocks[0].shape[:2]
     n_cols = max(int(np.sqrt(len(blocks))), 1)
     n_rows = int(np.ceil(len(blocks) / n_cols))
