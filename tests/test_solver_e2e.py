@@ -188,3 +188,24 @@ def test_log_images_emits_panels(solver):
     # ring mirrors the device queue: same capacity, same tail
     assert solver.image_ring.maxsize == solver.cfg.queue_size
     assert solver.image_ring.tail == int(np.asarray(solver.state.queue.tail))
+
+
+def test_save_cadence_survives_epoch_resets(tmp_path, cpu_devices):
+    """Periodic saves key off the never-resetting global step: with
+    save_frequency == iterations_per_epoch, every epoch boundary must
+    produce a checkpoint (regression: gating on the per-epoch
+    logger_iteration silenced ALL periodic saves in that configuration)."""
+    from vince_tpu.solvers.vince_solver import VinceSolver
+
+    args = _args(tmp_path / "cadence", extra=["--no-restore"])
+    args.save = True
+    args.save_frequency = args.iterations_per_epoch  # worst case: 3 == 3
+    s = VinceSolver(args)
+    for _ in range(2):
+        s.reset_epoch()
+        for _ in range(args.iterations_per_epoch):
+            s.run_train_iteration()
+        s.epoch += 1
+    steps = set(s.ckpt.manager.all_steps())
+    assert {3, 6} <= steps, steps
+    s.end()

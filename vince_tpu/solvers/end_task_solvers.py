@@ -202,12 +202,11 @@ class EndTaskBaseSolver(BaseSolver):
         self.time_meters["step_time"].update(watch.lap())
         self.log_step_metrics(metrics)
         self.time_meters["metrics_time"].update(watch.lap())
-        if self.args.save and self.logger_iteration > 0 and (
-            self.logger_iteration % self.args.save_frequency == 0
-        ):
-            self.save()
         self.iteration += self.args.batch_size
         self.logger_iteration += 1
+        # cadence on the never-resetting global step (see VinceSolver note)
+        if self.args.save and self.global_step % self.args.save_frequency == 0:
+            self.save()
         self.time_meters["log_save_time"].update(watch.lap())
         self.time_meters["total_time"].update(watch.total())
         return metrics

@@ -403,13 +403,14 @@ class VinceSolver(BaseSolver):
         ):
             self.log_images(host_batches)
 
-        if self.args.save and self.logger_iteration > 0 and (
-            self.logger_iteration % self.args.save_frequency == 0
-        ):
-            self.save(num_to_keep=5)
-
         self.iteration += self.args.batch_size
         self.logger_iteration += 1
+        # save cadence on the NEVER-resetting global step (reference
+        # vince_solver.py:500-501 gates on its monotone iteration counter;
+        # logger_iteration resets each epoch, which would silence saves
+        # whenever save_frequency >= iterations_per_epoch)
+        if self.args.save and self.global_step % self.args.save_frequency == 0:
+            self.save(num_to_keep=5)
         self.time_meters["log_save_time"].update(watch.lap())
         self.time_meters["total_time"].update(watch.total())
         return metrics
