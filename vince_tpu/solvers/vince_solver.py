@@ -87,7 +87,12 @@ class VinceSolver(BaseSolver):
                 num_workers=min(args.num_workers, 8),
                 never_ending=True,
             )
-            val_loader.set_dataset(self._make_dataset(dataset_name, "val"))
+            val_ds = self._make_dataset(dataset_name, "val")
+            val_loader.set_dataset(val_ds)
+            self._val_epoch_batches = max(
+                getattr(self, "_val_epoch_batches", 0),
+                -(-len(val_ds) // items_per_batch),
+            )
             self.train_loaders.append((spec.name, train_loader))
             self.val_loaders.append((spec.name, val_loader))
 
@@ -477,13 +482,18 @@ class VinceSolver(BaseSolver):
                 )
 
     # ------------------------------------------------------------------- val
-    def run_val(self, max_seconds: float = 300.0, max_batches: int = 50):
-        """Val losses on each val loader (5-min cap, reference :549-551) +
-        CIFAR kNN probe (reference :651-693)."""
+    def run_val(self, max_seconds: float = 300.0, max_batches: Optional[int] = None):
+        """Val losses on each val loader: one epoch-sized pass per loader,
+        wall-capped at 5 minutes (the reference's loop shape, :549-551 —
+        its time check is inverted and never fires; ours works) + CIFAR kNN
+        probe (reference :651-693). ``max_batches`` is a test/debug cap."""
         epoch_meters: Dict[str, AverageMeter] = {}
         t_start = time.time()
         n = 0
-        while time.time() - t_start < max_seconds and n < max_batches:
+        cap = getattr(self, "_val_epoch_batches", None) or 1
+        if max_batches is not None:
+            cap = min(cap, max_batches)
+        while time.time() - t_start < max_seconds and n < cap:
             host_batches = [loader.get_batch() for _, loader in self.val_loaders]
             device_batch = self._device_batch(host_batches)
             metrics = jax.device_get(self.eval_step(self.state, device_batch, self._step_rng))
