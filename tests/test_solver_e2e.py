@@ -57,6 +57,16 @@ def test_val_runs(solver):
     results = solver.run_val(max_seconds=30, max_batches=2)
     assert np.isfinite(results["loss/nce_loss"])
     assert "nce_accuracy" in results
+    assert solver.last_val_batches == 2
+
+
+def test_val_is_epoch_sized(solver):
+    """Bare run_val = one pass over the val loader epoch (ceil(len/items)),
+    not an arbitrary fixed batch count (reference loop shape :549-551)."""
+    results = solver.run_val(max_seconds=60)
+    # 32 synthetic videos / 8 items per batch = 4 batches
+    assert solver.last_val_batches == solver._val_epoch_batches == 4
+    assert np.isfinite(results["loss/nce_loss"])
 
 def test_checkpoint_save_restore_resume(tmp_path, cpu_devices):
     from vince_tpu.solvers.vince_solver import VinceSolver

@@ -501,6 +501,7 @@ class VinceSolver(BaseSolver):
                 epoch_meters.setdefault(k, AverageMeter()).update(float(np.asarray(v)))
             n += 1
 
+        self.last_val_batches = n
         results = {k: m.value for k, m in epoch_meters.items()}
         knn_acc = self.run_cifar_knn()
         if knn_acc is not None:
