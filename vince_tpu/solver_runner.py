@@ -69,6 +69,11 @@ def main(argv=None):
             print("Saving models")
             solver.save()
         solver.end()
+        # flush buffered tensorboard events (short runs never hit the
+        # writer's auto-flush threshold and would leave empty event files)
+        for logger in (train_logger, val_logger):
+            if logger is not None:
+                logger.close()
 
 
 if __name__ == "__main__":
