@@ -8,7 +8,9 @@ from vince_tpu.utils.util_functions import (
     _load_class_names,
     imagenet_label_to_class,
     kinetics_400_label_to_class,
+    load_imagenet_categories,
     sun_scene_label_to_class,
+    yt8m_label_to_class,
 )
 
 
@@ -20,6 +22,16 @@ def test_class_tables_present_and_indexed():
     assert imagenet_label_to_class(999) == "toilet tissue"
     assert sun_scene_label_to_class(0) == "abbey"
     assert kinetics_400_label_to_class(0) == "abseiling"
+    assert yt8m_label_to_class(0) == "Game"
+
+
+def test_full_imagenet_category_table():
+    """The 76,003-row WordNet table the YouTube search iterates over
+    (reference search_youtube_for_urls.py:66)."""
+    cats = load_imagenet_categories()
+    assert len(cats) == 76003
+    assert cats[0] == ("n00001740", "entity")
+    assert all(wnid.startswith("n") and len(wnid) == 9 for wnid, _ in cats[:100])
 
 
 def test_r2v2_ids_val_format():

@@ -1,0 +1,72 @@
+"""Fetch the released VINCE pretrained weights and convert them to Orbax.
+
+Parity with reference ``download_scripts/download_pretrained_weights_resnet{18,50}.sh``
+(gdown + untar; Drive ids published in reference README.md:95-102), extended
+with the torch→JAX conversion step so the result is directly loadable with
+``--checkpoint-dir``. Offline environments get a clear report and exit.
+"""
+
+import argparse
+import os
+import tarfile
+import urllib.request
+
+# Published Drive ids (reference README.md:95-102 / download_scripts/*.sh)
+DRIVE_IDS = {
+    "ResNet18": "1L2SZvsvpxe-A1gCN9Nxg9LwB_d604aQf",
+    "ResNet50": "11TfKfZLLx2FYCATjkll5nUIOxSgSBWGi",
+}
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Download released VINCE weights")
+    parser.add_argument("--backbone", choices=sorted(DRIVE_IDS), default="ResNet18")
+    parser.add_argument("--output-path", default="pretrained")
+    parser.add_argument("--skip-convert", action="store_true",
+                        help="only download/extract the torch checkpoint")
+    args = parser.parse_args(argv)
+
+    os.makedirs(args.output_path, exist_ok=True)
+    tar_path = os.path.join(
+        args.output_path, f"pretrained_weights_{args.backbone.lower()}.tar"
+    )
+    url = ("https://drive.google.com/uc?export=download&id="
+           + DRIVE_IDS[args.backbone])
+    try:
+        print(f"fetching {args.backbone} weights: {url}")
+        urllib.request.urlretrieve(url, tar_path)
+    except OSError as e:
+        raise SystemExit(f"download failed ({e}); offline environment? "
+                         f"Fetch the tar manually from {url} and re-run.")
+    with tarfile.open(tar_path) as tf:
+        tf.extractall(args.output_path)
+    os.remove(tar_path)
+
+    ckpts = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(args.output_path)
+        for f in fs
+        if f.endswith((".pt", ".pth", ".pytorch"))
+    ]
+    if not ckpts:
+        raise SystemExit(f"no torch checkpoint found under {args.output_path}")
+    print(f"extracted: {ckpts}")
+    if args.skip_convert:
+        return
+    from tools.convert_reference_checkpoint import main as convert
+
+    out = os.path.join(args.output_path, f"orbax_{args.backbone.lower()}")
+    # R50 "large" runs use MoCoV2 hyperparams: 128-d embeddings
+    # (reference README.md:99, vince/train_vince_large.sh)
+    embed = {"ResNet18": "64", "ResNet50": "128"}[args.backbone]
+    convert([
+        "--torch-checkpoint", ckpts[0],
+        "--output-dir", out,
+        "--backbone", args.backbone,
+        "--embed-size", embed,
+    ])
+    print(f"converted → {out} (use --checkpoint-dir {out})")
+
+
+if __name__ == "__main__":
+    main()

@@ -11,7 +11,7 @@ import csv
 import os
 import random
 
-from vince_tpu.utils.util_functions import _load_class_names
+from vince_tpu.utils.util_functions import _load_class_names, load_imagenet_categories
 from vince_tpu.utils.youtube_utils import search_youtube
 
 VAL_SIZE = 65536  # reference :49-61
@@ -23,16 +23,21 @@ def main(argv=None):
     parser.add_argument("--num-workers", type=int, default=64)
     parser.add_argument("--results-per-query", type=int, default=50)
     parser.add_argument("--queries-file", default=None,
-                        help="one search query per line (default: ImageNet classes)")
+                        help="one search query per line (default: the full "
+                             "WordNet category table, reference :66)")
     args = parser.parse_args(argv)
 
     if args.queries_file:
         with open(args.queries_file) as f:
             queries = [line.strip() for line in f if line.strip()]
     else:
-        queries = _load_class_names("imagenet_classes.txt") or []
+        # reference iterates the 21,841-synset table; fall back to the
+        # 1000-class names if the big table is absent
+        queries = [name for _, name in load_imagenet_categories()]
+        if not queries:
+            queries = _load_class_names("imagenet_classes.txt") or []
     if not queries:
-        raise SystemExit("no queries (provide --queries-file or info_files/imagenet_classes.txt)")
+        raise SystemExit("no queries (provide --queries-file or info_files/*)")
 
     ids = set()
     with concurrent.futures.ThreadPoolExecutor(args.num_workers) as pool:

@@ -41,6 +41,19 @@ def kinetics_400_label_to_class(label: int) -> str:
     return names[int(label)] if names else f"action_{int(label)}"
 
 
+def yt8m_label_to_class(label: int) -> str:
+    names = _load_class_names("yt8m_classes.txt")
+    return names[int(label)] if names else f"yt8m_{int(label)}"
+
+
+def load_imagenet_categories():
+    """The full 76,003-row WordNet table (``nXXXXXXXX: names``) the
+    reference's YouTube search iterates over (reference
+    ``search_youtube_for_urls.py:66``). Returns [(wnid, name), ...]."""
+    rows = _load_class_names("full_imagenet_categories.txt") or []
+    return [tuple(line.split(": ", 1)) for line in rows if ": " in line]
+
+
 def to_uint8(images: np.ndarray, padding: int = 0) -> np.ndarray:
     """Invert ImageNet normalization → uint8 HWC for viz (reference :36-49).
     Accepts [**, H, W, 3] normalized float (unit-scale mean/std)."""
