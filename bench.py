@@ -118,7 +118,10 @@ def run_bench(batch: int, steps: int, backbone: str, image: int, queue_size: int
 
     fps = batch * steps / dt
     # sanity vs physics: frames/s must be below the chip's bf16 peak budget
-    flops_per_frame = {"ResNet18": 4 * 3.6e9, "ResNet50": 4 * 8.2e9}.get(backbone, 4 * 8.2e9)
+    flops_per_frame = {
+        "ResNet18": 4 * 3.6e9, "ResNet34": 4 * 7.3e9, "ResNet50": 4 * 8.2e9,
+        "EfficientNetB0": 4 * 0.8e9,
+    }.get(backbone, 4 * 8.2e9)
     peak_fps = 197e12 / flops_per_frame
     assert fps < peak_fps, f"non-physical timing: {fps:.0f} fps > peak {peak_fps:.0f}"
     assert np.isfinite(loss), "non-finite loss in bench step"

@@ -91,12 +91,66 @@ def resnet_layers(depth, n, img):
     return ops
 
 
+def dwconv_ops(n, h, w, c, k, stride=1, name=""):
+    """Depthwise k×k: per-channel spatial conv — k² FLOP per element, so
+    arithmetic intensity ≈ k²/2 FLOP/byte (bandwidth-bound at any k ≤ 15;
+    runs as a VPU/vector op on TPU, never fills the MXU)."""
+    ho, wo = h // stride, w // stride
+    flops = 2 * n * ho * wo * c * k * k
+    bytes_ = n * h * w * c * A + n * ho * wo * c * A + k * k * c * A
+    return {"name": name, "flops": flops, "bytes": bytes_, "out": (n, ho, wo, c)}
+
+
+# (blocks, kernel, stride, cout, expand) per stage — EfficientNet-B0 @224
+_B0_STAGES = [
+    (1, 3, 1, 16, 1), (2, 3, 2, 24, 6), (2, 5, 2, 40, 6), (3, 3, 2, 80, 6),
+    (3, 5, 1, 112, 6), (4, 5, 2, 192, 6), (1, 3, 1, 320, 6),
+]
+
+
+def effnet_b0_layers(n, img):
+    """Op list for one B0 forward, bn-fold expand (expand-conv BN folded into
+    the dot; dw/project BN stats counted as one extra read — the SE pool is
+    the same barrier so it shares that read under perfect fusion)."""
+    ops = []
+    h = img // 2
+    ops.append(conv_ops(n, img, img, 3, 32, 3, 2, "stem conv3"))
+    cin = 32
+    for si, (blocks, k, stride, cout, expand) in enumerate(_B0_STAGES):
+        for b in range(blocks):
+            s = stride if b == 0 else 1
+            ci = cin if b == 0 else cout
+            cmid = ci * expand
+            if expand != 1:
+                # folded expand 1×1 as dot (+ xTx moment dot, 1/expand of main)
+                ops.append(conv_ops(n, h, h, ci, cmid, 1, 1, f"s{si+1}b{b} expand(fold)"))
+                ops[-1]["flops"] += 2 * n * h * h * ci * ci
+            ops.append(dwconv_ops(n, h, h, cmid, k, s, f"s{si+1}b{b} dw{k}"))
+            h //= s
+            # dw-BN stat + SE pool barrier: one extra read of the dw output
+            ops.append({"name": f"s{si+1}b{b} dwstat+SE", "flops": 0,
+                        "bytes": n * h * h * cmid * A, "out": None})
+            ops.append(conv_ops(n, h, h, cmid, cout, 1, 1, f"s{si+1}b{b} project"))
+            # project-BN stat (no activation, not folded): one extra read
+            ops.append({"name": f"s{si+1}b{b} projstat", "flops": 0,
+                        "bytes": n * h * h * cout * A, "out": None})
+        cin = cout
+    ops.append(conv_ops(n, h, h, 320, 1280, 1, 1, "head conv(fold)"))
+    ops[-1]["flops"] += 2 * n * h * h * 320 * 320
+    return ops
+
+
 def main():
-    depth = 50 if (len(sys.argv) < 2 or "50" in sys.argv[1]) else 18
+    arch = sys.argv[1] if len(sys.argv) > 1 else "ResNet50"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     img = int(sys.argv[3]) if len(sys.argv) > 3 else 224
 
-    fwd = resnet_layers(depth, n, img)
+    if "B0" in arch or "Efficient" in arch:
+        depth = "B0"
+        fwd = effnet_b0_layers(n, img)
+    else:
+        depth = 50 if "50" in arch else 18
+        fwd = resnet_layers(depth, n, img)
     fwd_flops = sum(o["flops"] for o in fwd)
     fwd_bytes = sum(o["bytes"] for o in fwd)
 
@@ -119,7 +173,8 @@ def main():
         max(o["flops"] / PEAK_TF, o["bytes"] / PEAK_BW) for o in fwd
     ) * 4.5 * 1e3 + max(info_flops / PEAK_TF, info_bytes / PEAK_BW) * 1e3
 
-    print(f"ResNet{depth} b={n} @{img}²  (bn-fold expand, bf16)")
+    name = "EfficientNet-B0" if depth == "B0" else f"ResNet{depth}"
+    print(f"{name} b={n} @{img}²  (bn-fold expand, bf16)")
     print(f"  encoder fwd: {fwd_flops/1e12:.2f} TFLOP, minimal traffic {fwd_bytes/1e9:.2f} GB")
     print(f"  step totals: {flops/1e12:.2f} TFLOP, minimal traffic {bytes_/1e9:.2f} GB")
     print(f"  FLOP floor   : {flop_floor:6.1f} ms  (100% MXU)")
