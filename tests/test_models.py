@@ -275,3 +275,46 @@ def test_efficientnet_bn_fold_matches_unfolded():
     e1 = base.apply(variables, x, train=False)
     e2 = folded.apply(variables, x, train=False)
     np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=1e-3, rtol=1e-3)
+
+
+@pytest.mark.parametrize(
+    "kernel,strides,size", [(3, 1, 16), (3, 2, 15), (5, 1, 9), (5, 2, 14)]
+)
+def test_depthwise_tap_matches_grouped_conv(kernel, strides, size):
+    """DepthwiseConvTap == nn.Conv(feature_group_count=C, padding=SAME):
+    same param tree, same math (incl. TF-SAME asymmetric stride-2 padding)."""
+    import flax.linen as nn
+
+    from vince_tpu.models.efficientnet import DepthwiseConvTap
+
+    c = 24
+    conv = nn.Conv(c, (kernel, kernel), strides=(strides, strides),
+                   padding="SAME", feature_group_count=c, use_bias=False)
+    tap = DepthwiseConvTap(kernel, strides=strides)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, size, size, c), jnp.float32)
+    variables = conv.init(jax.random.PRNGKey(0), x)
+    assert variables["params"]["kernel"].shape == (kernel, kernel, 1, c)
+    assert jax.tree_util.tree_structure(
+        tap.init(jax.random.PRNGKey(0), x)
+    ) == jax.tree_util.tree_structure(variables)
+    y1 = conv.apply(variables, x)
+    y2 = tap.apply(variables, x)
+    assert y1.shape == y2.shape
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5, rtol=1e-5)
+
+
+def test_efficientnet_dw_tap_matches_conv():
+    """Whole-B0 parity between the grouped-conv and tap-sum depthwise paths
+    (shared params -- dw_kind must not change the tree)."""
+    from vince_tpu.models import efficientnet
+
+    base = efficientnet.EfficientNetB0()
+    tap = efficientnet.EfficientNetB0(dw_kind="tap")
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3), jnp.float32)
+    variables = base.init({"params": jax.random.PRNGKey(0)}, x, train=True)
+    assert jax.tree_util.tree_structure(
+        tap.init({"params": jax.random.PRNGKey(0)}, x, train=True)
+    ) == jax.tree_util.tree_structure(variables)
+    y1, _ = base.apply(variables, x, train=True, mutable=["batch_stats"])
+    y2, _ = tap.apply(variables, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=2e-4, rtol=1e-3)

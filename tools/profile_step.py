@@ -30,6 +30,7 @@ cfg = VinceConfig(
     shuffle_bn=True,
     bn_fold=os.environ.get("PROF_BN_FOLD", "expand"),  # match production default
     fold_kernel=bool(int(os.environ.get("PROF_FOLD_KERNEL", "0"))),
+    dw_kind=os.environ.get("PROF_DW_KIND", "conv"),
 )
 mesh = make_mesh(MeshSpec(1, 1))
 opt = optax.chain(optax.add_decayed_weights(1e-4), optax.sgd(0.03, momentum=0.9))

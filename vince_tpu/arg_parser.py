@@ -184,6 +184,15 @@ def build_parser() -> argparse.ArgumentParser:
         "docs/PERFORMANCE.md round 2); kept for kernel research.",
     )
     parser.add_argument(
+        "--dw-kind", default="conv", choices=["conv", "tap", "pallas"],
+        help="EfficientNet depthwise-conv emission: 'conv' = XLA grouped-conv "
+        "op (fastest, default); 'tap' = k^2 shifted elementwise FMAs "
+        "(measured 2.4x slower); 'pallas' = VPU kernel at stride-1 sites "
+        "(measured 72.5 vs 43.4 ms/step at B0 headline — fusion-boundary "
+        "tax; docs/PERFORMANCE.md). Both alternatives kept as documented "
+        "negatives. Ignored by ResNet backbones.",
+    )
+    parser.add_argument(
         "--remat", action="store_true",
         help="Rematerialize backbone residual blocks (jax.checkpoint): trades "
         "spare MXU FLOPs for HBM activation traffic; enables larger batches.",

@@ -13,6 +13,7 @@ import math
 from typing import Any, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from vince_tpu.models.resnet import Conv1x1, FoldCfg, folded_dot_bn
@@ -50,6 +51,101 @@ def round_repeats(repeats: int, depth_mult: float) -> int:
     return int(math.ceil(depth_mult * repeats))
 
 
+class DepthwiseConv(nn.Module):
+    """Depthwise k×k conv with selectable emission, one shared param tree
+    (``kernel`` [k,k,1,C] — identical to
+    ``nn.Conv(C, (k,k), feature_group_count=C)``).
+
+    kind:
+      - ``"conv"``: XLA grouped-convolution op (fastest; default).
+      - ``"tap"``: k² shifted FMAs as XLA slices (measured 2.4× slower at
+        B0 scale — the slices materialize; kept as a documented negative).
+      - ``"pallas"``: VPU kernel for stride-1 sites
+        (``ops/pallas/depthwise_kernel.py``); stride-2/oversized sites fall
+        back to the grouped-conv op. Measured 72.5 vs 43.4 ms/step at the
+        B0 headline config — the pallas_call fusion boundaries cost more
+        than the kernel saves (docs/PERFORMANCE.md); documented negative.
+    """
+
+    kernel: int
+    strides: int = 1
+    kind: str = "conv"
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        k = self.kernel
+        w = self.param(
+            "kernel", nn.initializers.lecun_normal(), (k, k, 1, c), jnp.float32
+        ).astype(x.dtype)
+        if self.kind == "pallas":
+            from vince_tpu.ops.pallas import depthwise_kernel
+
+            # same platform gating as the fused-InfoNCE kernel: compiled
+            # Mosaic on TPU backends only; elsewhere use the XLA conv below.
+            # Init traces on CPU (jax.default_device(cpu) param init) — the
+            # XLA path there keeps init host-runnable; trees are identical.
+            on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+            if (on_tpu and not self.is_initializing()
+                    and depthwise_kernel.kernel_supported(x.shape, k, self.strides)):
+                return depthwise_kernel.depthwise_conv_pallas(x, w)
+        elif self.kind == "tap":
+            return _tap_sum(x, w, k, self.strides)
+        return jax.lax.conv_general_dilated(
+            x, w, (self.strides, self.strides), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+        )
+
+
+class DepthwiseConvTap(nn.Module):
+    """Depthwise k×k conv emitted as k² shifted elementwise FMAs ("tap sum")
+    instead of a grouped-convolution op.
+
+    Identical math and param tree to
+    ``nn.Conv(C, (k,k), feature_group_count=C, padding="SAME")`` (TF-SAME
+    asymmetric padding for stride 2). Motivation: XLA:TPU emits grouped convs
+    as convolution ops, which neither use the MXU well (1-channel contraction)
+    nor admit BatchNorm stat fusion (stats fuse into *dot* and *loop* fusions
+    only — the round-1 ``Conv1x1`` finding). A depthwise conv is elementwise
+    per tap, so this formulation turns the whole
+    bn→swish→depthwise→bn-stats chain into loop fusions. Accumulates in f32
+    (the conv op also accumulates above bf16).
+    """
+
+    kernel: int
+    strides: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel
+        c = x.shape[-1]
+        w = self.param(
+            "kernel", nn.initializers.lecun_normal(), (k, k, 1, c), jnp.float32
+        ).astype(x.dtype)
+        return _tap_sum(x, w, k, self.strides)
+
+
+def _tap_sum(x, w, k: int, s: int):
+    dtype = x.dtype
+    h_in, w_in = x.shape[1], x.shape[2]
+    h_out, w_out = -(-h_in // s), -(-w_in // s)
+    pad_h = max((h_out - 1) * s + k - h_in, 0)
+    pad_w = max((w_out - 1) * s + k - w_in, 0)
+    x = jnp.pad(
+        x,
+        ((0, 0), (pad_h // 2, pad_h - pad_h // 2),
+         (pad_w // 2, pad_w - pad_w // 2), (0, 0)),
+    )
+    acc = None
+    for i in range(k):
+        for j in range(k):
+            tap = x[:, i : i + (h_out - 1) * s + 1 : s,
+                    j : j + (w_out - 1) * s + 1 : s, :] * w[i, j, 0]
+            tap = tap.astype(jnp.float32)
+            acc = tap if acc is None else acc + tap
+    return acc.astype(dtype)
+
+
 class SqueezeExcite(nn.Module):
     reduced: int
 
@@ -73,6 +169,7 @@ class MBConv(nn.Module):
     # moment dot is 1/6 of the main dot's FLOPs — see resnet.folded_dot_bn).
     # The project conv reduces 6C→C, where the fold costs more than it saves.
     fold_cfg: Optional[FoldCfg] = None
+    dw_kind: str = "conv"  # {"conv", "tap"} — see DepthwiseConvTap
 
     @nn.compact
     def __call__(self, x):
@@ -91,13 +188,8 @@ class MBConv(nn.Module):
                 y = nn.swish(y)
         # TF-SAME (asymmetric for stride 2) matches the reference package's
         # Conv2dStaticSamePadding — required for torch-weight forward parity.
-        y = nn.Conv(
-            expanded,
-            (self.kernel, self.kernel),
-            strides=(self.strides, self.strides),
-            padding="SAME",
-            feature_group_count=expanded,
-            use_bias=False,
+        y = DepthwiseConv(
+            self.kernel, strides=self.strides, kind=self.dw_kind,
             name="depthwise_conv",
         )(y)
         y = self.norm(name="depthwise_bn")(y)
@@ -123,6 +215,9 @@ class EfficientNet(nn.Module):
     # (expand_conv + head_conv) via derived input moments; "all" behaves like
     # "expand" here (reducing project_conv folds are never profitable)
     bn_fold: str = "none"
+    # {"conv", "tap"}: emit depthwise convs as grouped-conv ops or as k²
+    # shifted elementwise FMAs (loop fusions — see DepthwiseConvTap)
+    dw_kind: str = "conv"
 
     @property
     def output_channels(self) -> int:
@@ -168,6 +263,7 @@ class EfficientNet(nn.Module):
                     strides=stride if r == 0 else 1,
                     norm=norm,
                     fold_cfg=fold_cfg,
+                    dw_kind=self.dw_kind,
                     name=f"block_{block_idx}",
                 )(x)
                 block_idx += 1

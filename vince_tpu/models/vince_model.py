@@ -52,6 +52,9 @@ class VinceEncoder(nn.Module):
     bn_fold: str = "none"
     # Pallas fused bn2→relu→conv3 kernel at folded bottleneck sites (ResNet)
     fold_kernel: bool = False
+    # EfficientNet depthwise-conv emission: {"conv", "tap"} (see
+    # efficientnet.DepthwiseConvTap — tap = k² elementwise FMAs, loop-fusable)
+    dw_kind: str = "conv"
 
     def setup(self):
         backbone_cls = get_backbone(self.backbone_name)
@@ -60,6 +63,8 @@ class VinceEncoder(nn.Module):
             kwargs["norm_kind"] = self.norm_kind
             kwargs["stem_kind"] = self.stem_kind  # ResNet-only (7x7 stem)
             kwargs["fold_kernel"] = self.fold_kernel
+        if "EfficientNet" in self.backbone_name:
+            kwargs["dw_kind"] = self.dw_kind
         self.backbone = backbone_cls(
             dtype=self.dtype, axis_name=self.bn_axis_name, name="backbone", **kwargs
         )

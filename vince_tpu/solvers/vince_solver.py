@@ -165,6 +165,7 @@ class VinceSolver(BaseSolver):
             bn_fold=getattr(args, "bn_fold", "none"),  # ad-hoc args match the model-class default; the CLI parser supplies "expand"
             norm_kind=getattr(args, "norm_kind", "batchnorm"),
             fold_kernel=getattr(args, "fold_kernel", False),
+            dw_kind=getattr(args, "dw_kind", "conv"),
         )
         self.optimizer = self._build_optimizer()
         state = init_vince_state(jax.random.PRNGKey(getattr(args, "seed", 0)), self.cfg, self.optimizer)

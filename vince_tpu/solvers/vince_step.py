@@ -98,6 +98,9 @@ class VinceConfig:
     bn_fold: str = "expand"
     # --fold-kernel: Pallas fused bn2→relu→conv3 at folded bottleneck sites
     fold_kernel: bool = False
+    # --dw-kind: EfficientNet depthwise emission ("conv" grouped op | "tap"
+    # k² elementwise FMAs — loop fusions that admit BN-stat fusion)
+    dw_kind: str = "conv"
 
     @property
     def total_batch(self) -> int:
@@ -151,6 +154,7 @@ def build_encoder(cfg: VinceConfig) -> VinceEncoder:
         stem_kind=cfg.stem_kind,
         bn_fold=cfg.bn_fold,
         fold_kernel=cfg.fold_kernel,
+        dw_kind=cfg.dw_kind,
         bn_axis_name=DATA_AXIS if cfg.sync_bn else None,
     )
 
