@@ -184,6 +184,13 @@ def build_parser() -> argparse.ArgumentParser:
         "docs/PERFORMANCE.md round 2); kept for kernel research.",
     )
     parser.add_argument(
+        "--native-decode", action="store_true",
+        help="Decode JPEGs through the C++ library (vince_tpu/native): "
+        "DCT-domain scaled decode + fused resize, GIL-free so thread workers "
+        "parallelize across cores. Falls back to cv2 per-file on non-JPEG or "
+        "decode failure, and globally when no g++/libjpeg is available.",
+    )
+    parser.add_argument(
         "--dw-kind", default="conv", choices=["conv", "tap", "pallas"],
         help="EfficientNet depthwise-conv emission: 'conv' = XLA grouped-conv "
         "op (fastest, default); 'tap' = k^2 shifted elementwise FMAs "

@@ -43,7 +43,19 @@ class BaseDataset(abc.ABC):
 
     def read_image(self, path: str) -> Optional[np.ndarray]:
         """Tolerant JPEG read → RGB uint8 square canvas (reference
-        base_dataset.py:46-56 returns None on failure; collate filters)."""
+        base_dataset.py:46-56 returns None on failure; collate filters).
+
+        With ``--native-decode`` (or VINCE_NATIVE_DECODE=1), JPEGs go through
+        the C++ decoder (``vince_tpu/native``): DCT-domain scaled decode +
+        fused resize, GIL released for the whole call so the loader's thread
+        workers parallelize across cores. Non-JPEG / failed files fall back
+        to the cv2 path below (which itself returns None on failure)."""
+        if self._native_decode():
+            from vince_tpu import native
+
+            img = native.decode_jpeg_file(path, self.canvas)
+            if img is not None:
+                return img
         try:
             img = cv2.imread(path, cv2.IMREAD_COLOR)
             if img is None:
@@ -52,6 +64,16 @@ class BaseDataset(abc.ABC):
             return self.resize_canvas(img)
         except Exception:
             return None
+
+    def _native_decode(self) -> bool:
+        want = getattr(self.args, "native_decode", False) or bool(
+            int(os.environ.get("VINCE_NATIVE_DECODE", "0") or 0)
+        )
+        if not want:
+            return False
+        from vince_tpu import native
+
+        return native.available()
 
     def resize_canvas(self, img: np.ndarray) -> np.ndarray:
         c = self.canvas
