@@ -79,6 +79,15 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self.manager.latest_step()
 
+    def restore_raw(self, step: Optional[int] = None):
+        """Restore as a plain nested dict without an abstract-state template
+        (structure-agnostic consumers: export tools, inspection)."""
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            return None
+        return self.manager.restore(step)
+
     def restore(
         self,
         abstract_state: Any,
