@@ -219,3 +219,36 @@ def test_save_cadence_survives_epoch_resets(tmp_path, cpu_devices):
     steps = set(s.ckpt.manager.all_steps())
     assert {3, 6} <= steps, steps
     s.end()
+
+
+def test_batch_prefetch_parity_and_lifecycle(tmp_path, cpu_devices):
+    """The device-staging prefetch thread (reference prefetch_batches parity,
+    vince_solver.py:340-374) must not change training numerics: with a
+    single-worker loader (deterministic batch order) the per-step losses are
+    identical with prefetch on (default) and off (--no-batch-prefetch)."""
+    from vince_tpu.solvers.vince_solver import VinceSolver
+
+    def run(subdir, extra):
+        args = _args(tmp_path / subdir,
+                     extra=["--num-workers", "1", "--no-restore", *extra])
+        args.save = False
+        # repeatable mode: per-item deterministic frame jitter, so the batch
+        # stream is bit-identical across runs no matter how loader threads
+        # interleave on the global RNG
+        args.repeatable = True
+        s = VinceSolver(args)
+        if "--no-batch-prefetch" in extra:
+            assert s._prefetch_thread is None
+        else:
+            assert s._prefetch_thread is not None
+            assert s._prefetch_thread.is_alive()
+        s.reset_epoch()
+        losses = [float(s.run_train_iteration()["loss/nce_loss"])
+                  for _ in range(3)]
+        s.end()
+        assert s._prefetch_thread is None  # stop_prefetch ran
+        return losses
+
+    on = run("prefetch_on", [])
+    off = run("prefetch_off", ["--no-batch-prefetch"])
+    assert on == off, (on, off)

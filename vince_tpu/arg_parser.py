@@ -109,6 +109,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--save-frequency", default=5000, type=int)
     parser.add_argument("--long-save-frequency", default=25, type=int)
     parser.add_argument("--disable-dataloader", action="store_true")
+    parser.add_argument(
+        "--no-batch-prefetch", dest="batch_prefetch", action="store_false",
+        help="stage batches synchronously in the train loop instead of the "
+        "background device-staging thread (reference prefetch_batches "
+        "parity); mainly for timing methodology / debugging",
+    )
 
     # ImageNet args (:181-185)
     parser.add_argument("--use-imagenet", action="store_true")

@@ -219,8 +219,11 @@ class PersistentDataLoader:
     def get_batch(self, timeout: Optional[float] = None):
         if self.use_processes:
             while True:
-                job = self._pending.pop(0)
+                # peek-then-pop: a bounded-timeout get (prefetch thread polls
+                # its kill flag) must not drop the in-flight job on timeout
+                job = self._pending[0]
                 batch = job.get(timeout=timeout)
+                self._pending.pop(0)
                 self._fill_pending()
                 if batch is None:
                     continue

@@ -54,7 +54,13 @@ class SyntheticVideoDataset(BaseDataset):
     def __getitem__(self, idx) -> Optional[Dict[str, np.ndarray]]:
         vid_rng = np.random.RandomState(self.seed + idx)
         scene = _video_canvas(vid_rng, self.canvas)
-        frame_rng = np.random.RandomState(np.random.randint(0, 2 ** 31))
+        if getattr(self.args, "repeatable", False):
+            # per-item deterministic jitter (reference r2v2_dataset.py:57-61
+            # repeatable mode) — loader threads race on the global RNG, so
+            # determinism tests need draws keyed by idx, not draw order
+            frame_rng = np.random.RandomState(self.seed + 7919 * (idx + 1))
+        else:
+            frame_rng = np.random.RandomState(np.random.randint(0, 2 ** 31))
         queries = [self._frame(scene, frame_rng) for _ in range(self.num_images_to_return)]
         keys = [self._frame(scene, frame_rng) for _ in range(self.num_images_to_return)]
         return {

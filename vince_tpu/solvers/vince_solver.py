@@ -11,7 +11,10 @@ plus the CIFAR kNN probe (KDTree, k=11 mode vote, ``:651-693``), resume epoch
 derived from the restored iteration (``:287-289``).
 """
 
+import multiprocessing as mp
 import os
+import queue as queue_lib
+import threading
 import time
 from typing import Dict, List, Optional, Tuple
 
@@ -48,6 +51,9 @@ class VinceSolver(BaseSolver):
         self.cifar_dataset: Optional[NPZDataset] = None
         self.image_ring: Optional[HostImageRing] = None
         self._step_rng = jax.random.PRNGKey(getattr(args, "seed", 0))
+        self._batch_queue: Optional[queue_lib.Queue] = None
+        self._prefetch_thread: Optional[threading.Thread] = None
+        self._kill_prefetch = False
         super().__init__(args, train_logger, val_logger)
 
     @property
@@ -238,6 +244,10 @@ class VinceSolver(BaseSolver):
 
         if not self.args.disable_dataloader and not getattr(self, "_queue_restored", False):
             self.fill_queue_repeat()
+        if not self.args.disable_dataloader:
+            # reference vince_solver.py:290 — prefetch starts once the bank
+            # is primed, so the prefill path stages synchronously above
+            self.start_prefetch()
 
     def _build_optimizer(self):
         # reference setup_optimizer: SGD(lr, wd=1e-4, momentum=0.9) :252-265
@@ -264,9 +274,74 @@ class VinceSolver(BaseSolver):
             )
         return tuple(out)
 
-    def get_batch(self):
-        host_batches = [loader.get_batch() for _, loader in self.train_loaders]
+    def _stage_batch(self, interruptible: bool = False):
+        """Pull one host batch per source and move it to the device mesh.
+
+        ``interruptible`` (prefetch thread) polls the kill flag between
+        bounded waits so shutdown never hangs on a slow loader; already-pulled
+        sources are kept across waits (sources are independent streams)."""
+        host_batches = []
+        for _, loader in self.train_loaders:
+            while True:
+                if interruptible and self._kill_prefetch:
+                    return None
+                try:
+                    host_batches.append(loader.get_batch(timeout=0.5))
+                    break
+                except (queue_lib.Empty, mp.TimeoutError):
+                    continue
         return self._device_batch(host_batches), host_batches
+
+    # -------------------------------------------------------------- prefetch
+    # Reference vince_solver.py:340-374 runs a prefetch thread that stages
+    # loader batches onto the accelerator (``val.to(device)``) into a bounded
+    # queue ahead of the train loop. Same design here: the thread overlaps
+    # host collate + H2D transfer of batch N+1 with the device computing
+    # step N (JAX dispatch is async; device_put is thread-safe). Depth 2
+    # bounds the extra HBM to two staged batches.
+    def start_prefetch(self):
+        if not getattr(self.args, "batch_prefetch", True):
+            return
+        if self._prefetch_thread is not None or not self.train_loaders:
+            return
+        self._batch_queue = queue_lib.Queue(maxsize=2)
+        self._kill_prefetch = False
+        self._prefetch_thread = threading.Thread(
+            target=self._prefetch_loop, daemon=True
+        )
+        self._prefetch_thread.start()
+
+    def _prefetch_loop(self):
+        bq = self._batch_queue  # local ref: survives stop_prefetch clearing it
+        while not self._kill_prefetch:
+            staged = self._stage_batch(interruptible=True)
+            if staged is None:
+                return
+            while not self._kill_prefetch:
+                try:
+                    bq.put(staged, timeout=0.5)
+                    break
+                except queue_lib.Full:
+                    continue
+
+    def stop_prefetch(self):
+        self._kill_prefetch = True
+        if self._prefetch_thread is not None:
+            self._prefetch_thread.join(timeout=10.0)
+            self._prefetch_thread = None
+        self._batch_queue = None
+
+    def get_batch(self):
+        if self._prefetch_thread is None:
+            return self._stage_batch()
+        while True:
+            try:
+                return self._batch_queue.get(timeout=5.0)
+            except queue_lib.Empty:
+                if not self._prefetch_thread.is_alive():
+                    raise RuntimeError(
+                        "batch prefetch thread died; see traceback above"
+                    ) from None
 
     # ----------------------------------------------------------------- queue
     def _embed_batch_keys(self, device_batch):
@@ -373,6 +448,9 @@ class VinceSolver(BaseSolver):
             _profiler.stop_trace()
             print(f"profiler trace written to {profile_dir}")
         watch = Stopwatch().start()
+        # with prefetch on (default) this is the residual wait on the staging
+        # queue — the same meaning the reference's data_cache_time has over
+        # its prefetch thread (vince_solver.py:388-391)
         device_batch, host_batches = self.get_batch()
         self.time_meters["data_cache_time"].update(watch.lap())
 
@@ -546,6 +624,7 @@ class VinceSolver(BaseSolver):
         if getattr(self, "_ended", False):
             return
         self._ended = True
+        self.stop_prefetch()
         for _, loader in self.train_loaders + self.val_loaders:
             loader.shutdown()
         self.ckpt.close()
