@@ -228,3 +228,29 @@ def test_end_task_restores_pretrain_encoder(tmp_path, cpu_devices):
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     s.end()
+
+
+def test_end_task_prefetch_lifecycle(tmp_path, cpu_devices):
+    """Prefetch starts lazily on the first train iteration (eval-only runs
+    never stage train batches), feeds converted batches, and stops on end()."""
+    from vince_tpu.solvers.end_task_solvers import EndTaskSunSceneSolver
+
+    args = _args(tmp_path, ["--dataset", "SyntheticImageDataset"])
+    s = EndTaskSunSceneSolver(args)
+    assert s._prefetcher is None  # not started by construction
+    s.reset_epoch()
+    m = s.run_train_iteration()
+    assert s._prefetcher is not None and s._prefetcher.running
+    assert np.isfinite(np.asarray(m["classifier_accuracy_0"]))
+    s.run_train_iteration()
+    s.end()
+    assert s._prefetcher is None
+
+    # opt-out path stays synchronous
+    args2 = _args(tmp_path, ["--dataset", "SyntheticImageDataset",
+                             "--no-batch-prefetch"])
+    s2 = EndTaskSunSceneSolver(args2)
+    s2.reset_epoch()
+    s2.run_train_iteration()
+    assert s2._prefetcher is None
+    s2.end()

@@ -238,15 +238,14 @@ def test_batch_prefetch_parity_and_lifecycle(tmp_path, cpu_devices):
         args.repeatable = True
         s = VinceSolver(args)
         if "--no-batch-prefetch" in extra:
-            assert s._prefetch_thread is None
+            assert s._prefetcher is None
         else:
-            assert s._prefetch_thread is not None
-            assert s._prefetch_thread.is_alive()
+            assert s._prefetcher is not None and s._prefetcher.running
         s.reset_epoch()
         losses = [float(s.run_train_iteration()["loss/nce_loss"])
                   for _ in range(3)]
         s.end()
-        assert s._prefetch_thread is None  # stop_prefetch ran
+        assert s._prefetcher is None  # stop_prefetch ran
         return losses
 
     on = run("prefetch_on", [])

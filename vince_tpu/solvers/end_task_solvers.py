@@ -20,6 +20,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from vince_tpu.data import get_dataset
 from vince_tpu.data.loader import PersistentDataLoader
+from vince_tpu.data.prefetch import BatchPrefetcher, pull_with_kill
 from vince_tpu.parallel.mesh import DATA_AXIS, MeshSpec, make_mesh
 from vince_tpu.solvers.base_solver import BaseSolver
 from vince_tpu.solvers.end_task_step import (
@@ -44,6 +45,7 @@ class EndTaskBaseSolver(BaseSolver):
         self.train_loader: Optional[PersistentDataLoader] = None
         self.val_loader: Optional[PersistentDataLoader] = None
         self._step_rng = jax.random.PRNGKey(getattr(args, "seed", 0))
+        self._prefetcher: Optional[BatchPrefetcher] = None
         super().__init__(args, train_logger, val_logger)
 
     @property
@@ -191,9 +193,19 @@ class EndTaskBaseSolver(BaseSolver):
         return ["dist", "center_dist", "mean_iou"]
 
     # ----------------------------------------------------------------- train
+    def _stage_train_batch(self, should_stop=None):
+        hb = pull_with_kill(self.train_loader, should_stop)
+        return None if hb is None else self.convert_batch(hb)
+
     def run_train_iteration(self):
         watch = Stopwatch().start()
-        batch = self.convert_batch(self.train_loader.get_batch())
+        # lazy prefetch start: eval-only runs (run_end_task_eval.py) never
+        # stage train batches; same staging overlap as VinceSolver otherwise
+        if (self._prefetcher is None and getattr(self.args, "batch_prefetch", True)
+                and self.train_loader is not None):
+            self._prefetcher = BatchPrefetcher(self._stage_train_batch).start()
+        batch = (self._prefetcher.get() if self._prefetcher is not None
+                 else self._stage_train_batch())
         self.time_meters["data_cache_time"].update(watch.lap())
         self.state, metrics = self.train_step(self.state, batch, self._step_rng)
         # value fetch = the reliable device sync (CLAUDE.md); this lap times
@@ -311,6 +323,9 @@ class EndTaskBaseSolver(BaseSolver):
         if getattr(self, "_ended", False):
             return
         self._ended = True
+        if self._prefetcher is not None:
+            self._prefetcher.stop()
+            self._prefetcher = None
         for loader in (self.train_loader, self.val_loader):
             if loader is not None:
                 loader.shutdown()

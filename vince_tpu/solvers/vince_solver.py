@@ -11,10 +11,7 @@ plus the CIFAR kNN probe (KDTree, k=11 mode vote, ``:651-693``), resume epoch
 derived from the restored iteration (``:287-289``).
 """
 
-import multiprocessing as mp
 import os
-import queue as queue_lib
-import threading
 import time
 from typing import Dict, List, Optional, Tuple
 
@@ -27,6 +24,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from vince_tpu.data import get_dataset
 from vince_tpu.data.loader import PersistentDataLoader
 from vince_tpu.data.npz_dataset import NPZDataset
+from vince_tpu.data.prefetch import BatchPrefetcher, pull_with_kill
 from vince_tpu.ops.queue import HostImageRing
 from vince_tpu.parallel.mesh import DATA_AXIS, MeshSpec, make_mesh
 from vince_tpu.solvers.base_solver import BaseSolver
@@ -51,9 +49,7 @@ class VinceSolver(BaseSolver):
         self.cifar_dataset: Optional[NPZDataset] = None
         self.image_ring: Optional[HostImageRing] = None
         self._step_rng = jax.random.PRNGKey(getattr(args, "seed", 0))
-        self._batch_queue: Optional[queue_lib.Queue] = None
-        self._prefetch_thread: Optional[threading.Thread] = None
-        self._kill_prefetch = False
+        self._prefetcher: Optional[BatchPrefetcher] = None
         super().__init__(args, train_logger, val_logger)
 
     @property
@@ -274,74 +270,35 @@ class VinceSolver(BaseSolver):
             )
         return tuple(out)
 
-    def _stage_batch(self, interruptible: bool = False):
+    def _stage_batch(self, should_stop=None):
         """Pull one host batch per source and move it to the device mesh.
 
-        ``interruptible`` (prefetch thread) polls the kill flag between
-        bounded waits so shutdown never hangs on a slow loader; already-pulled
-        sources are kept across waits (sources are independent streams)."""
+        ``should_stop`` (prefetch thread) is polled between bounded waits so
+        shutdown never hangs on a slow loader; already-pulled sources are kept
+        across waits (sources are independent streams)."""
         host_batches = []
         for _, loader in self.train_loaders:
-            while True:
-                if interruptible and self._kill_prefetch:
-                    return None
-                try:
-                    host_batches.append(loader.get_batch(timeout=0.5))
-                    break
-                except (queue_lib.Empty, mp.TimeoutError):
-                    continue
+            hb = pull_with_kill(loader, should_stop)
+            if hb is None:
+                return None
+            host_batches.append(hb)
         return self._device_batch(host_batches), host_batches
 
-    # -------------------------------------------------------------- prefetch
-    # Reference vince_solver.py:340-374 runs a prefetch thread that stages
-    # loader batches onto the accelerator (``val.to(device)``) into a bounded
-    # queue ahead of the train loop. Same design here: the thread overlaps
-    # host collate + H2D transfer of batch N+1 with the device computing
-    # step N (JAX dispatch is async; device_put is thread-safe). Depth 2
-    # bounds the extra HBM to two staged batches.
     def start_prefetch(self):
         if not getattr(self.args, "batch_prefetch", True):
             return
-        if self._prefetch_thread is not None or not self.train_loaders:
-            return
-        self._batch_queue = queue_lib.Queue(maxsize=2)
-        self._kill_prefetch = False
-        self._prefetch_thread = threading.Thread(
-            target=self._prefetch_loop, daemon=True
-        )
-        self._prefetch_thread.start()
-
-    def _prefetch_loop(self):
-        bq = self._batch_queue  # local ref: survives stop_prefetch clearing it
-        while not self._kill_prefetch:
-            staged = self._stage_batch(interruptible=True)
-            if staged is None:
-                return
-            while not self._kill_prefetch:
-                try:
-                    bq.put(staged, timeout=0.5)
-                    break
-                except queue_lib.Full:
-                    continue
+        if self._prefetcher is None and self.train_loaders:
+            self._prefetcher = BatchPrefetcher(self._stage_batch).start()
 
     def stop_prefetch(self):
-        self._kill_prefetch = True
-        if self._prefetch_thread is not None:
-            self._prefetch_thread.join(timeout=10.0)
-            self._prefetch_thread = None
-        self._batch_queue = None
+        if self._prefetcher is not None:
+            self._prefetcher.stop()
+            self._prefetcher = None
 
     def get_batch(self):
-        if self._prefetch_thread is None:
+        if self._prefetcher is None:
             return self._stage_batch()
-        while True:
-            try:
-                return self._batch_queue.get(timeout=5.0)
-            except queue_lib.Empty:
-                if not self._prefetch_thread.is_alive():
-                    raise RuntimeError(
-                        "batch prefetch thread died; see traceback above"
-                    ) from None
+        return self._prefetcher.get()
 
     # ----------------------------------------------------------------- queue
     def _embed_batch_keys(self, device_batch):
