@@ -22,11 +22,36 @@ BENCH_FUSED=1 (Pallas streaming InfoNCE kernel).
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
 
 REFERENCE_BASELINE_FPS_PER_CHIP = 167.0
+
+
+def _start_watchdog(timeout_s: float) -> threading.Timer:
+    """The axon tunnel can wedge (observed: jax.devices() blocking forever).
+    A hung bench is worse than a failed one — emit a diagnostic JSON line and
+    exit instead of hanging the driver. Normal runs (compile ~40 s + 10 steps)
+    finish far inside the default; BENCH_TIMEOUT overrides."""
+
+    def fire():
+        print(json.dumps({
+            "metric": "vince_pretrain_frames_per_sec_per_chip_rn50",
+            "value": 0.0,
+            "unit": "frames/s/chip",
+            "vs_baseline": 0.0,
+            "error": f"bench did not complete within {timeout_s:.0f}s "
+                     "(TPU tunnel down or backend init hung)",
+        }))
+        sys.stdout.flush()
+        os._exit(17)
+
+    timer = threading.Timer(timeout_s, fire)
+    timer.daemon = True
+    timer.start()
+    return timer
 
 
 def run_bench(batch: int, steps: int, backbone: str, image: int, queue_size: int):
@@ -142,6 +167,7 @@ def main():
     backbone = os.environ.get("BENCH_BACKBONE", "ResNet50")
     image = int(os.environ.get("BENCH_IMAGE", 224))
     queue_size = int(os.environ.get("BENCH_QUEUE", 65536))
+    watchdog = _start_watchdog(float(os.environ.get("BENCH_TIMEOUT", 1500)))
 
     try:
         fps = run_bench(batch, steps, backbone, image, queue_size)
@@ -150,6 +176,7 @@ def main():
               file=sys.stderr)
         batch //= 2
         fps = run_bench(batch, steps, backbone, image, queue_size)
+    watchdog.cancel()
 
     print(json.dumps({
         "metric": "vince_pretrain_frames_per_sec_per_chip_rn50",
