@@ -11,14 +11,99 @@ import pytest
 
 
 def test_download_pretrained_weights_offline(monkeypatch, tmp_path):
+    from vince_tpu.scrape import drive
     from vince_tpu.scrape.download_pretrained_weights import main
 
-    def deny(url, path):
-        raise OSError("no egress")
+    class DenyOpener:
+        def open(self, url):
+            raise OSError("no egress")
 
-    monkeypatch.setattr(urllib.request, "urlretrieve", deny)
+    monkeypatch.setattr(drive, "_default_opener", DenyOpener)
     with pytest.raises(SystemExit, match="download failed"):
         main(["--backbone", "ResNet18", "--output-path", str(tmp_path)])
+
+
+class _FakeResponse:
+    def __init__(self, payload: bytes):
+        self._buf = payload
+
+    def read(self, n=-1):
+        if n is None or n < 0:
+            out, self._buf = self._buf, b""
+        else:
+            out, self._buf = self._buf[:n], self._buf[n:]
+        return out
+
+    def close(self):
+        pass
+
+
+class _ScriptedOpener:
+    """Returns scripted payloads in order; records the URLs requested."""
+
+    def __init__(self, payloads):
+        self.payloads = list(payloads)
+        self.urls = []
+
+    def open(self, url):
+        self.urls.append(url)
+        return _FakeResponse(self.payloads.pop(0))
+
+
+_INTERSTITIAL = b"""<!DOCTYPE html><html><body>
+<form id="download-form" action="https://drive.usercontent.google.com/download" method="get">
+<input type="submit" value="Download anyway"/>
+<input type="hidden" name="id" value="FILEID"/>
+<input type="hidden" name="export" value="download"/>
+<input type="hidden" name="confirm" value="t"/>
+<input type="hidden" name="uuid" value="abc-123"/>
+</form></body></html>"""
+
+
+def test_drive_fetch_small_file_direct(tmp_path):
+    """Non-HTML first response streams straight to disk."""
+    from vince_tpu.scrape.drive import drive_fetch
+
+    opener = _ScriptedOpener([b"\x00tar-bytes" * 10])
+    dest = str(tmp_path / "out.tar")
+    drive_fetch("FILEID", dest, opener=opener)
+    assert open(dest, "rb").read() == b"\x00tar-bytes" * 10
+    assert opener.urls == [
+        "https://drive.google.com/uc?export=download&id=FILEID"
+    ]
+
+
+def test_drive_fetch_follows_confirm_form(tmp_path):
+    """The virus-scan interstitial (why the reference used gdown) is followed
+    through its hidden-field form to the real payload."""
+    from vince_tpu.scrape.drive import drive_fetch
+
+    opener = _ScriptedOpener([_INTERSTITIAL, b"REAL-TAR-PAYLOAD"])
+    dest = str(tmp_path / "out.tar")
+    drive_fetch("FILEID", dest, opener=opener)
+    assert open(dest, "rb").read() == b"REAL-TAR-PAYLOAD"
+    follow = opener.urls[1]
+    assert follow.startswith("https://drive.usercontent.google.com/download?")
+    assert "id=FILEID" in follow and "confirm=t" in follow and "uuid=abc-123" in follow
+
+
+def test_drive_fetch_rejects_formless_html(tmp_path):
+    from vince_tpu.scrape.drive import drive_fetch
+
+    opener = _ScriptedOpener([b"<html><body>Quota exceeded</body></html>"])
+    with pytest.raises(OSError, match="no download form"):
+        drive_fetch("FILEID", str(tmp_path / "out.tar"), opener=opener)
+
+
+def test_extract_drive_id_url_shapes():
+    from vince_tpu.scrape.drive import extract_drive_id
+
+    assert extract_drive_id("https://drive.google.com/open?id=AbC_-123") == "AbC_-123"
+    assert extract_drive_id(
+        "https://drive.google.com/file/d/XyZ987/view?usp=sharing") == "XyZ987"
+    assert extract_drive_id(
+        "https://drive.google.com/uc?export=download&id=Q") == "Q"
+    assert extract_drive_id("https://example.com/shard.tar") is None
 
 
 def test_bench_loader_cache_feeds_r2v2_dataset(tmp_path):

@@ -81,13 +81,13 @@ class DepthwiseConv(nn.Module):
         if self.kind == "pallas":
             from vince_tpu.ops.pallas import depthwise_kernel
 
-            # same platform gating as the fused-InfoNCE kernel: compiled
-            # Mosaic on TPU backends only; elsewhere use the XLA conv below.
-            # Init traces on CPU (jax.default_device(cpu) param init) — the
-            # XLA path there keeps init host-runnable; trees are identical.
-            on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-            if (on_tpu and not self.is_initializing()
-                    and depthwise_kernel.kernel_supported(x.shape, k, self.strides)):
+            # standardized tri-state dispatch (conv_bn_kernel.USE_PALLAS
+            # contract): default-backend sniff, overridable per-module for
+            # tests/benchmarks. Init traces on CPU (jax.default_device(cpu)
+            # param init) — the XLA path there keeps init host-runnable;
+            # param trees are identical either way.
+            if (not self.is_initializing()
+                    and depthwise_kernel.use_pallas(x.shape, k, self.strides)):
                 return depthwise_kernel.depthwise_conv_pallas(x, w)
         elif self.kind == "tap":
             return _tap_sum(x, w, k, self.strides)

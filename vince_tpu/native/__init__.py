@@ -29,23 +29,33 @@ _lib_failed = False
 def _build() -> bool:
     # -march=native is safe: the .so is always built lazily on the host it
     # runs on (and rebuilt whenever decode.cc is newer than it).
+    # Compile to a per-process temp path and os.rename into place: with
+    # --loader-processes, N forked workers can race here (the threading lock
+    # is per-process), and dlopen of a half-written ELF fails or worse.
+    # rename is atomic on the same filesystem, so every worker maps either
+    # the old complete .so or the new complete one.
+    tmp = f"{_LIB}.build.{os.getpid()}"
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        _SRC, "-o", _LIB, "-ljpeg", "-lpthread",
+        _SRC, "-o", tmp, "-ljpeg", "-lpthread",
     ]
     try:
         res = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+        if res.returncode != 0:
+            # older toolchains may reject -march=native; retry portable
+            cmd = [c for c in cmd if c != "-march=native"]
+            res = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+            if res.returncode != 0:
+                return False
+        os.replace(tmp, _LIB)
     except (OSError, subprocess.TimeoutExpired):
         return False
-    if res.returncode != 0:
-        # older toolchains may reject -march=native; retry portable
-        cmd = [c for c in cmd if c != "-march=native"]
+    finally:
         try:
-            res = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
-        except (OSError, subprocess.TimeoutExpired):
-            return False
-        if res.returncode != 0:
-            return False
+            if os.path.exists(tmp):
+                os.remove(tmp)
+        except OSError:
+            pass
     return os.path.exists(_LIB)
 
 

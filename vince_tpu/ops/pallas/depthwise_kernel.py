@@ -62,6 +62,27 @@ def _lane_padded(c: int) -> int:
     return -(-c // 128) * 128
 
 
+# tri-state dispatch override, same contract as conv_bn_kernel.USE_PALLAS:
+# None = auto (process default backend is a TPU), True/False force the
+# Pallas / XLA path
+USE_PALLAS = None
+
+
+def use_pallas(x_shape, kernel: int, stride: int, override=None) -> bool:
+    """Shared dispatch predicate (mirrors conv_bn_kernel._use_pallas): shape
+    support AND (explicit override, else module override, else
+    default-backend sniff)."""
+    if not kernel_supported(x_shape, kernel, stride):
+        return False
+    if override is not None:
+        return override
+    if USE_PALLAS is not None:
+        return USE_PALLAS
+    import jax
+
+    return jax.default_backend() in ("tpu", "axon")
+
+
 def kernel_supported(x_shape, kernel: int, stride: int) -> bool:
     """Shapes this kernel handles (callers fall back to XLA otherwise).
 

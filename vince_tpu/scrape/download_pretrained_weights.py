@@ -9,7 +9,8 @@ with the torch→JAX conversion step so the result is directly loadable with
 import argparse
 import os
 import tarfile
-import urllib.request
+
+from vince_tpu.scrape.drive import drive_fetch
 
 # Published Drive ids (reference README.md:95-102 / download_scripts/*.sh)
 DRIVE_IDS = {
@@ -30,16 +31,24 @@ def main(argv=None):
     tar_path = os.path.join(
         args.output_path, f"pretrained_weights_{args.backbone.lower()}.tar"
     )
-    url = ("https://drive.google.com/uc?export=download&id="
-           + DRIVE_IDS[args.backbone])
+    file_id = DRIVE_IDS[args.backbone]
+    url = f"https://drive.google.com/uc?export=download&id={file_id}"
     try:
         print(f"fetching {args.backbone} weights: {url}")
-        urllib.request.urlretrieve(url, tar_path)
+        # large-file confirm flow — a plain GET returns Drive's virus-scan
+        # HTML page for these multi-hundred-MB tars (gdown equivalent)
+        drive_fetch(file_id, tar_path)
     except OSError as e:
         raise SystemExit(f"download failed ({e}); offline environment? "
                          f"Fetch the tar manually from {url} and re-run.")
-    with tarfile.open(tar_path) as tf:
-        tf.extractall(args.output_path)
+    try:
+        with tarfile.open(tar_path) as tf:
+            tf.extractall(args.output_path)
+    except tarfile.ReadError as e:
+        raise SystemExit(
+            f"{tar_path} is not a tar ({e}) — Drive likely served an "
+            f"interstitial page; fetch manually from {url} and re-run."
+        )
     os.remove(tar_path)
 
     ckpts = [

@@ -9,7 +9,8 @@ fetching uses urllib — in offline environments this reports and exits.
 import argparse
 import os
 import tarfile
-import urllib.request
+
+from vince_tpu.scrape.drive import fetch_url
 
 
 def main(argv=None):
@@ -31,25 +32,29 @@ def main(argv=None):
             else:
                 shards.append((f"{len(shards):04d}", parts[0]))
     os.makedirs(args.output_path, exist_ok=True)
+    failed = []
     for i, (tag, url) in enumerate(shards):
-        # Drive share links ("open?id=X") need the direct-download endpoint
-        if "drive.google.com/open?" in url:
-            from urllib.parse import parse_qs, urlparse
-
-            qs = parse_qs(urlparse(url).query)
-            if qs.get("id"):
-                url = ("https://drive.google.com/uc?export=download&id="
-                       + qs["id"][0])
         tar_path = os.path.join(args.output_path, f"shard_{tag}.tar")
         try:
             print(f"[{i + 1}/{len(shards)}] {tag}: {url}")
-            urllib.request.urlretrieve(url, tar_path)
-        except OSError as e:
-            print(f"download failed ({e}); offline environment?")
+            # Drive share links go through the large-file confirm flow
+            # (plain GETs of these multi-hundred-MB tars return HTML)
+            fetch_url(url, tar_path)
+            with tarfile.open(tar_path) as tf:
+                tf.extractall(args.output_path)
+        except (OSError, tarfile.ReadError) as e:
+            print(f"shard {tag} failed ({type(e).__name__}: {e}); continuing")
+            failed.append(tag)
             continue
-        with tarfile.open(tar_path) as tf:
-            tf.extractall(args.output_path)
-        os.remove(tar_path)
+        finally:
+            try:
+                if os.path.exists(tar_path):
+                    os.remove(tar_path)
+            except OSError:
+                pass
+    if failed:
+        print(f"{len(failed)}/{len(shards)} shards failed: {failed[:10]}"
+              + ("..." if len(failed) > 10 else ""))
 
 
 if __name__ == "__main__":

@@ -294,7 +294,15 @@ class EndTaskBaseSolver(BaseSolver):
                 loader.shutdown()
         if dataset is not None and max_batches is None:
             expected = int(np.ceil(len(dataset) / items))
-            assert n_batches == expected, (n_batches, expected, len(dataset), items)
+            if n_batches != expected:
+                # e.g. a chunk of unreadable files made the loader drop a
+                # whole batch — report, don't abort training mid-epoch (the
+                # exact-count contract is pinned by tests, not production)
+                print(
+                    f"WARNING: val pass covered {n_batches} batches, expected "
+                    f"{expected} (len={len(dataset)}, items/batch={items}) — "
+                    "some val items were unreadable?"
+                )
         self.last_val_batches = n_batches
         self.last_val_samples = n_samples
         results = {k: s / max(n_samples, 1) for k, s in sums.items()}

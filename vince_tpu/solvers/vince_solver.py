@@ -230,10 +230,16 @@ class VinceSolver(BaseSolver):
         self.panel_fn = make_panel_fn(self.cfg, self.mesh)
         self._batch_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
         # positional mirror of the device queue (one thumbnail per bank row);
-        # subsample harder for big banks to bound host memory (~28px thumbs
-        # at q=65536 ≈ 150 MB — the reference kept FULL images at that size)
+        # thumbnail resolution scales down with bank size to hold the ring
+        # under a fixed host-memory budget (VINCE_THUMB_RING_MB, default 256)
+        # — at q=65536/224² that is 32px thumbs ≈ 200 MB (the reference kept
+        # FULL images at that size); at q=1M it degrades to ~9px rather than
+        # growing to multi-GB host RSS
         self.image_ring = HostImageRing(self.cfg.queue_size)
-        self._thumb_stride = 4 if self.cfg.queue_size <= 8192 else 8
+        budget = float(os.environ.get("VINCE_THUMB_RING_MB", 256)) * 1e6
+        side = max(8.0, np.sqrt(budget / (3 * max(self.cfg.queue_size, 1))))
+        canvas = int(self.cfg.image_size / 0.875)
+        self._thumb_stride = max(1, int(np.ceil(canvas / side)))
         if getattr(self, "_queue_restored", False):
             self.image_ring.clear(tail=int(np.asarray(self.state.queue.tail)))
         self._np_rng = np.random.RandomState(1234)
