@@ -49,20 +49,27 @@ def main():
     args = parse_args(argv)
     from vince_tpu.solver_runner import get_solver_class
 
+    import time
+
+    t0 = time.perf_counter()
     solver = get_solver_class(args.solver or "VinceSolver")(args, None, None)
+    print(f"[overlap] solver setup (incl. queue prefill): "
+          f"{time.perf_counter() - t0:.1f}s", flush=True)
     solver.reset_epoch()
     # warm up (compile) then measure
-    for _ in range(3):
+    for i in range(3):
+        t0 = time.perf_counter()
         solver.run_train_iteration()
+        print(f"[overlap] warmup iter {i}: {time.perf_counter() - t0:.1f}s",
+              flush=True)
     for m in solver.time_meters.values():
         m.reset()
-    import time
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
         solver.run_train_iteration()
     wall = (time.perf_counter() - t0) / ITERS * 1e3
-    prefetch = "on" if getattr(solver, "_prefetch_thread", None) else "off"
+    prefetch = "on" if getattr(solver, "_prefetcher", None) else "off"
     print(f"\n== CLI loop split ({os.environ.get('OVERLAP_BACKBONE', 'ResNet50')} "
           f"b={BATCH} @{IMAGE}², {ITERS} iters, prefetch {prefetch}) ==")
     for k, m in solver.time_meters.items():
