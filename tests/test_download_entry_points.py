@@ -87,6 +87,21 @@ def test_drive_fetch_follows_confirm_form(tmp_path):
     assert "id=FILEID" in follow and "confirm=t" in follow and "uuid=abc-123" in follow
 
 
+def test_drive_fetch_follows_legacy_confirm_token(tmp_path):
+    """Older interstitials carry confirm=<token> in a link (cookie flow)."""
+    from vince_tpu.scrape.drive import drive_fetch
+
+    legacy = (b"<html><body><a href=\"/uc?export=download&amp;"
+              b"confirm=TOKEN123&amp;id=FILEID\">Download anyway</a>"
+              b"</body></html>")
+    opener = _ScriptedOpener([legacy, b"LEGACY-PAYLOAD"])
+    dest = str(tmp_path / "out.tar")
+    drive_fetch("FILEID", dest, opener=opener)
+    assert open(dest, "rb").read() == b"LEGACY-PAYLOAD"
+    assert opener.urls[1] == ("https://drive.google.com/uc?export=download"
+                              "&confirm=TOKEN123&id=FILEID")
+
+
 def test_drive_fetch_rejects_formless_html(tmp_path):
     from vince_tpu.scrape.drive import drive_fetch
 
