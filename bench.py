@@ -54,6 +54,33 @@ def _start_watchdog(timeout_s: float) -> threading.Timer:
     return timer
 
 
+def _wait_for_backend(max_wait_s: float) -> bool:
+    """The axon tunnel can wedge for stretches (observed: ``jax.devices()``
+    blocking indefinitely in-process, unkillable from Python). Probe it in a
+    killable subprocess and wait for recovery before spending the watchdog
+    budget on a doomed run. Returns False if it never comes up."""
+    import subprocess
+
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            res = subprocess.run(
+                [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+                capture_output=True, text=True, timeout=120,
+            )
+            if res.returncode == 0 and res.stdout.strip().isdigit():
+                return True
+        except (OSError, subprocess.TimeoutExpired):
+            pass
+        if time.time() >= deadline:
+            return False
+        print(f"# backend probe {attempt} failed (tunnel wedged?); retrying in 30s",
+              file=sys.stderr)
+        time.sleep(30)
+
+
 def run_bench(batch: int, steps: int, backbone: str, image: int, queue_size: int):
     import jax
     import jax.numpy as jnp
@@ -167,6 +194,18 @@ def main():
     backbone = os.environ.get("BENCH_BACKBONE", "ResNet50")
     image = int(os.environ.get("BENCH_IMAGE", 224))
     queue_size = int(os.environ.get("BENCH_QUEUE", 65536))
+
+    if not _wait_for_backend(float(os.environ.get("BENCH_TUNNEL_WAIT", 900))):
+        print(json.dumps({
+            "metric": "vince_pretrain_frames_per_sec_per_chip_rn50",
+            "value": 0.0,
+            "unit": "frames/s/chip",
+            "vs_baseline": 0.0,
+            "error": "JAX backend never initialized within BENCH_TUNNEL_WAIT "
+                     "(TPU tunnel down)",
+        }))
+        sys.exit(17)
+
     watchdog = _start_watchdog(float(os.environ.get("BENCH_TIMEOUT", 1500)))
 
     try:
