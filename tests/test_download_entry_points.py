@@ -87,6 +87,20 @@ def test_drive_fetch_follows_confirm_form(tmp_path):
     assert "id=FILEID" in follow and "confirm=t" in follow and "uuid=abc-123" in follow
 
 
+def test_drive_fetch_resolves_relative_form_action(tmp_path):
+    """A relative form action resolves against the interstitial's URL."""
+    from vince_tpu.scrape.drive import drive_fetch
+
+    page = (b"<html><body><form id=\"download-form\" action=\"/download\" "
+            b"method=\"get\"><input type=\"hidden\" name=\"confirm\" "
+            b"value=\"t\"/></form></body></html>")
+    opener = _ScriptedOpener([page, b"PAYLOAD"])
+    drive_fetch("FILEID", str(tmp_path / "out.tar"), opener=opener)
+    follow = opener.urls[1]
+    assert follow.startswith("https://drive.google.com/download?")
+    assert "confirm=t" in follow and "id=FILEID" in follow
+
+
 def test_drive_fetch_follows_legacy_confirm_token(tmp_path):
     """Older interstitials carry confirm=<token> in a link (cookie flow)."""
     from vince_tpu.scrape.drive import drive_fetch

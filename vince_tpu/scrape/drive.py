@@ -19,7 +19,7 @@ import re
 import shutil
 import urllib.request
 from typing import Optional
-from urllib.parse import parse_qs, urlencode, urlparse
+from urllib.parse import parse_qs, urlencode, urljoin, urlparse
 
 _CHUNK = 1 << 20
 
@@ -72,7 +72,9 @@ def drive_fetch(file_id: str, dest: str, opener=None) -> str:
         # modern interstitial: <form action="…/download"> + hidden inputs
         m = re.search(r"<form[^>]+action=\"([^\"]+)\"", page)
         if m:
-            action = html.unescape(m.group(1))
+            # action may be relative ("/download") — resolve against the
+            # page URL
+            action = urljoin(url, html.unescape(m.group(1)))
             fields = dict(re.findall(
                 r"<input[^>]+name=\"([^\"]+)\"[^>]+value=\"([^\"]*)\"", page))
             fields.setdefault("id", file_id)
