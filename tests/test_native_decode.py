@@ -120,3 +120,36 @@ def test_read_image_native_path(tmp_path, monkeypatch):
     png = tmp_path / "f.png"
     cv2.imwrite(str(png), np.full((40, 40, 3), 128, np.uint8))
     assert ds.read_image(str(png)).shape == (c, c, 3)
+
+
+def test_pool_concurrent_submitters():
+    """A DecodePool shared across Python threads serializes submissions
+    (Pool::Map is single-caller) — results stay per-caller correct."""
+    import threading
+
+    datas = [_jpeg((100 + 10 * i, 140), seed=10 + i) for i in range(4)]
+    pool = native.DecodePool(2)
+    # golden: what each buffer decodes to with no concurrent submitters
+    refs = [pool.decode([d], 64)[0][0].copy() for d in datas]
+    errors = []
+
+    def worker(idx):
+        try:
+            for _ in range(5):
+                outs, oks = pool.decode([datas[idx]], 64)
+                assert oks.all()
+                # bitwise match — any cross-submission contamination of the
+                # shared Map cursor/output slots would corrupt this
+                assert np.array_equal(outs[0], refs[idx])
+        except Exception as e:  # pragma: no cover - failure path
+            errors.append((idx, e))
+
+    try:
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    finally:
+        pool.close()
+    assert not errors, errors

@@ -135,6 +135,10 @@ class DecodePool:
             or (os.cpu_count() or 1)
         self._pool = lib.vt_pool_new(int(n))
         self.n_threads = int(n)
+        # Pool::Map is single-caller (one shared task cursor); serialize
+        # batch submissions so a pool shared across Python threads is safe —
+        # the batch itself still fans out over the C++ threads.
+        self._submit_lock = threading.Lock()
 
     def close(self):
         if getattr(self, "_pool", None):
@@ -155,8 +159,9 @@ class DecodePool:
         oks = (ctypes.c_int * n)()
         bufs = (ctypes.c_char_p * n)(*items)
         lens = (ctypes.c_size_t * n)(*[len(b) for b in items])
-        self._lib.vt_pool_decode(self._pool, n, bufs, lens, canvas,
-                                 outs.ctypes.data_as(ctypes.c_void_p), oks)
+        with self._submit_lock:
+            self._lib.vt_pool_decode(self._pool, n, bufs, lens, canvas,
+                                     outs.ctypes.data_as(ctypes.c_void_p), oks)
         return outs, np.asarray(oks) == 0
 
     def decode_files(self, paths: List[str], canvas: int
@@ -166,7 +171,8 @@ class DecodePool:
         outs = np.empty((n, canvas, canvas, 3), np.uint8)
         oks = (ctypes.c_int * n)()
         arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
-        self._lib.vt_pool_decode_files(
-            self._pool, n, arr, canvas,
-            outs.ctypes.data_as(ctypes.c_void_p), oks)
+        with self._submit_lock:
+            self._lib.vt_pool_decode_files(
+                self._pool, n, arr, canvas,
+                outs.ctypes.data_as(ctypes.c_void_p), oks)
         return outs, np.asarray(oks) == 0
