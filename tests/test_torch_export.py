@@ -15,10 +15,11 @@ from vince_tpu.utils.torch_convert import convert_vince_state_dict
 from vince_tpu.utils.torch_export import export_vince_state_dict
 
 
-def _init_encoder(backbone, use_decoders=False):
+def _init_encoder(backbone, use_decoders=False, jigsaw=False):
     enc = VinceEncoder(
         backbone_name=backbone, embed_size=16,
         use_imagenet_decoders=use_decoders, num_imagenet_classes=10,
+        jigsaw=jigsaw,
     )
     x = jnp.zeros((1, 64, 64, 3), jnp.float32)
     variables = enc.init({"params": jax.random.PRNGKey(0)}, x, train=False,
@@ -57,6 +58,18 @@ def test_export_roundtrip_with_decoders():
     assert "imagenet_decoders.0.weight" in sd
     assert "imagenet_decoders.1.0.weight" in sd
     assert "imagenet_decoders.1.2.weight" in sd
+    rt_params, rt_stats = convert_vince_state_dict(sd)
+    _assert_tree_roundtrip(params, stats, rt_params, rt_stats)
+
+
+def test_export_roundtrip_with_jigsaw():
+    """PIRL jigsaw heads map to the reference jigsaw_linear /
+    jigsaw_embedding.{0,2} naming (vince_model.py:43-49) and round-trip."""
+    params, stats = _init_encoder("ResNet18", jigsaw=True)
+    sd = export_vince_state_dict(params, stats)
+    assert "jigsaw_linear.weight" in sd
+    assert "jigsaw_embedding.0.weight" in sd
+    assert "jigsaw_embedding.2.weight" in sd
     rt_params, rt_stats = convert_vince_state_dict(sd)
     _assert_tree_roundtrip(params, stats, rt_params, rt_stats)
 

@@ -212,6 +212,20 @@ def convert_vince_state_dict(state_dict) -> Tuple[Dict, Dict]:
     dec1.update(maybe("imagenet_decoders.1.2", "fc_out"))
     if dec1:
         params["imagenet_decoder_1"] = dec1
+    # PIRL jigsaw heads (reference vince_model.py:43-49): per-patch linear +
+    # Linear→ReLU→Linear Sequential over the 9-patch concat
+    jig = {}
+    jig.update(maybe("jigsaw_linear", "jigsaw_linear"))
+    jig.update(maybe("jigsaw_embedding.0", "fc1"))
+    jig.update(maybe("jigsaw_embedding.2", "fc2"))
+    if jig:
+        params["jigsaw"] = jig
+    if any(k.startswith("average_layers.") and hasattr(t, "shape")
+           for k, t in state_dict.items()):
+        print("WARNING: checkpoint carries attention-pool (average_layers.*) "
+              "weights — dg_util AttentionPool2D naming is unverified offline, "
+              "so they are NOT converted; restore with --use-attention will "
+              "re-initialize the pool")
     return params, stats
 
 

@@ -141,4 +141,22 @@ def export_vince_state_dict(params: Dict, batch_stats: Dict) -> Dict[str, np.nda
             _export_linear(out, "imagenet_decoders.1.0", dec["fc0"])
         if "fc_out" in dec:
             _export_linear(out, "imagenet_decoders.1.2", dec["fc_out"])
+    if "jigsaw" in params:
+        # reference vince_model.py:43-49 — jigsaw_linear + jigsaw_embedding
+        # (Linear→ReLU→Linear Sequential)
+        jig = params["jigsaw"]
+        if "jigsaw_linear" in jig:
+            _export_linear(out, "jigsaw_linear", jig["jigsaw_linear"])
+        if "fc1" in jig:
+            _export_linear(out, "jigsaw_embedding.0", jig["fc1"])
+        if "fc2" in jig:
+            _export_linear(out, "jigsaw_embedding.2", jig["fc2"])
+    if params.get("pool"):
+        # attention pooling (reference average_layers = dg_util
+        # AttentionPool2D) — its torch parameter naming cannot be verified
+        # offline, so these weights are NOT exported; say so rather than
+        # silently dropping them.
+        print("WARNING: attention-pool params present but not exported "
+              "(reference dg_util AttentionPool2D naming unverified); the "
+              "exported model pools by average")
     return out
