@@ -251,3 +251,44 @@ def test_batch_prefetch_parity_and_lifecycle(tmp_path, cpu_devices):
     on = run("prefetch_on", [])
     off = run("prefetch_off", ["--no-batch-prefetch"])
     assert on == off, (on, off)
+
+
+def test_checkpoint_restore_across_mesh_shapes(tmp_path, cpu_devices):
+    """Elastic resharding: a checkpoint written on one (data x queue) mesh
+    restores onto a differently-factored mesh (Orbax reshards to the target
+    shardings) and training continues. The reference's DataParallel
+    checkpoints have no analog — GPU count is baked into nothing here."""
+    import jax
+
+    from vince_tpu.solvers.vince_solver import VinceSolver
+
+    args = _args(tmp_path, extra=["--no-restore"])
+    args.save = True
+    s1 = VinceSolver(args)  # 4 x 2
+    s1.reset_epoch()
+    for _ in range(2):
+        s1.run_train_iteration()
+    s1.save()
+    step1 = int(np.asarray(s1.state.step))
+    ref_leaf = np.asarray(
+        jax.device_get(s1.state.params["backbone"]["conv1"]["kernel"]))
+    ref_queue = np.asarray(jax.device_get(s1.state.queue.vectors))
+    s1.end()
+
+    for dsz, qsz in ((2, 4), (8, 1)):
+        args2 = _args(tmp_path, extra=[
+            "--mesh-data-size", str(dsz), "--mesh-queue-size", str(qsz)])
+        args2.save = True
+        s2 = VinceSolver(args2)
+        assert int(np.asarray(s2.state.step)) == step1, (dsz, qsz)
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(
+                s2.state.params["backbone"]["conv1"]["kernel"])),
+            ref_leaf, err_msg=f"mesh {dsz}x{qsz}")
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(s2.state.queue.vectors)), ref_queue,
+            err_msg=f"mesh {dsz}x{qsz}")
+        s2.reset_epoch()
+        metrics = s2.run_train_iteration()
+        assert np.isfinite(metrics["loss/nce_loss"]), (dsz, qsz)
+        s2.end()
