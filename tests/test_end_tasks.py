@@ -1,6 +1,8 @@
 """End-task solvers: classifier probe learns synthetic classes, kinetics LSTM
 step runs, tracking step + tracker inference + OTB harness run end-to-end."""
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from vince_tpu.arg_parser import build_parser, finalize_args
@@ -30,7 +32,11 @@ def _args(tmp_path, extra=()):
 def test_classifier_solver_learns(tmp_path, cpu_devices):
     from vince_tpu.solvers.end_task_solvers import EndTaskSunSceneSolver
 
-    args = _args(tmp_path, ["--dataset", "SyntheticImageDataset", "--base-lr", "0.05"])
+    # --no-warmup: the LR schedule (incl. the 500-iteration warmup the
+    # reference applies to end tasks too) now lives inside the jitted
+    # optimizer; this test checks learning speed at full LR
+    args = _args(tmp_path, ["--dataset", "SyntheticImageDataset",
+                            "--base-lr", "0.05", "--no-warmup"])
     s = EndTaskSunSceneSolver(args)
     s.reset_epoch()
     accs = []
@@ -254,3 +260,29 @@ def test_end_task_prefetch_lifecycle(tmp_path, cpu_devices):
     s2.run_train_iteration()
     assert s2._prefetcher is None
     s2.end()
+
+
+def test_end_task_optimizer_follows_schedule():
+    """The epoch decay + warmup schedule applies inside the jitted end-task
+    optimizer (reference decays every param group per epoch,
+    base_solver.py:107-129) — per-head scales multiply the decayed value."""
+    import optax  # noqa: F401  (schedule path exercises scale_by_schedule)
+
+    from vince_tpu.solvers.end_task_step import EndTaskConfig, build_optimizer
+
+    cfg = EndTaskConfig(task="classifier", freeze_feature_extractor=True,
+                        head_lr_scales=(1.0, 0.01))
+    sched = lambda step: 0.1 * (0.5 ** step)  # noqa: E731
+    opt = build_optimizer(cfg, 0.1, "sgd", schedule=sched)
+    params = {"decoder": {"classifier_0": jnp.ones((3,)),
+                          "classifier_1": jnp.ones((3,))},
+              "encoder": {"w": jnp.ones((3,))}}
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    st = opt.init(params)
+    u0, st = opt.update(grads, st, params)
+    u1, st = opt.update(grads, st, params)
+    # SGD momentum 0.9: step0 = -lr(0)·g; step1 = -lr(1)·(1.9·g)
+    np.testing.assert_allclose(np.asarray(u0["decoder"]["classifier_0"]), -0.1, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(u1["decoder"]["classifier_0"]), -0.05 * 1.9, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(u0["decoder"]["classifier_1"]), -0.001, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(u0["encoder"]["w"]), 0.0)

@@ -152,9 +152,13 @@ def infonce_from_embeddings(
             mask = multi_frame_mask(b, 1, nq)  # eye mask, vince_model.py:68-77
     else:
         l_pos = jnp.sum(query * keys, axis=-1, keepdims=True)  # vince_model.py:227
-        l_neg = query @ queue_vectors.T
-        sims = jnp.concatenate([l_pos, l_neg], axis=1)
-        mask = moco_mask(b, queue_vectors.shape[0])
+        if queue_vectors is None:  # queue-less MoCo: positive column only
+            sims = l_pos
+            mask = moco_mask(b, 0)
+        else:
+            l_neg = query @ queue_vectors.T
+            sims = jnp.concatenate([l_pos, l_neg], axis=1)
+            mask = moco_mask(b, queue_vectors.shape[0])
     out = multi_pair_infonce(sims, mask, temperature)
     out["similarities"] = sims
     out["mask"] = mask

@@ -60,9 +60,9 @@ def _reference_queue_logsumexp(q, queue, temperature):
     return m, s, w
 
 
-def _kernel(q_ref, queue_ref, m_ref, s_ref, w_ref, *, block_cols, temperature):
-    """One row-block; streams col-blocks of the queue held in VMEM tiles."""
-    num_cols = pl.num_programs(1)
+def _kernel(q_ref, queue_ref, m_ref, s_ref, w_ref, *, temperature):
+    """One row-block; streams col-blocks of the queue held in VMEM tiles
+    (the block geometry is carried entirely by the ref shapes)."""
     j = pl.program_id(1)
 
     q = q_ref[:]  # [bm, D]
@@ -93,7 +93,7 @@ def _pallas_queue_logsumexp(q, queue, temperature, block_rows, block_cols, inter
     assert b % bm == 0, (b, bm)
     assert k % bn == 0, (k, bn)
     grid = (b // bm, k // bn)
-    kernel = functools.partial(_kernel, block_cols=bn, temperature=temperature)
+    kernel = functools.partial(_kernel, temperature=temperature)
     m, s, w = pl.pallas_call(
         kernel,
         grid=grid,
@@ -116,15 +116,25 @@ def _pallas_queue_logsumexp(q, queue, temperature, block_rows, block_cols, inter
     return m[:, 0], s[:, 0], w
 
 
+# tri-state dispatch override, same contract as conv_bn_kernel.USE_PALLAS /
+# depthwise_kernel.USE_PALLAS: None = auto (process default backend is a
+# TPU), True/False force the Pallas / XLA path
+USE_PALLAS = None
+
+
+def _use_pallas() -> bool:
+    if USE_PALLAS is not None:
+        return USE_PALLAS
+    return jax.default_backend() in ("tpu", "axon")
+
+
 def _fwd_impl(q, queue, temperature, block_rows, block_cols):
-    on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-    padded_b = False
     b, d = q.shape
     bm = min(block_rows, max(b, 8))
     if d % 128 != 0 or queue.shape[0] % max(block_cols, 1) != 0 or b % bm != 0:
         # ragged shapes → XLA fallback (still fused by XLA, just materializes)
         return _reference_queue_logsumexp(q, queue, temperature)
-    if not on_tpu:
+    if not _use_pallas():
         return _reference_queue_logsumexp(q, queue, temperature)
     return _pallas_queue_logsumexp(q, queue, temperature, block_rows, block_cols, False)
 

@@ -10,6 +10,7 @@ full-val epoch, ``run_eval``. Tracking's ``run_eval`` runs the OTB benchmark
 through the TPU tracker (``vince_tpu.tracking.tracker``).
 """
 
+import dataclasses
 import os
 from typing import Dict, Optional
 
@@ -43,7 +44,6 @@ class EndTaskBaseSolver(BaseSolver):
 
     def __init__(self, args, train_logger=None, val_logger=None):
         self.train_loader: Optional[PersistentDataLoader] = None
-        self.val_loader: Optional[PersistentDataLoader] = None
         self._step_rng = jax.random.PRNGKey(getattr(args, "seed", 0))
         self._prefetcher: Optional[BatchPrefetcher] = None
         super().__init__(args, train_logger, val_logger)
@@ -130,7 +130,11 @@ class EndTaskBaseSolver(BaseSolver):
         args = self.args
         self.cfg = self.make_config()
         self.mesh = make_mesh(MeshSpec(data_axis_size=self.cfg.data_axis_size, queue_axis_size=1))
-        self.optimizer = build_optimizer(self.cfg, args.base_lr, self.optimizer_kind)
+        # schedule-aware: the reference decays every end-task param group per
+        # epoch (base_solver.py:107-129) + runner warmup; same curve here,
+        # inside the jitted optimizer
+        self.optimizer = build_optimizer(self.cfg, args.base_lr, self.optimizer_kind,
+                                         schedule=self.lr_schedule)
 
         enc_params, enc_stats = self._restore_encoder()
         state = init_end_task_state(
@@ -334,9 +338,10 @@ class EndTaskBaseSolver(BaseSolver):
         if self._prefetcher is not None:
             self._prefetcher.stop()
             self._prefetcher = None
-        for loader in (self.train_loader, self.val_loader):
-            if loader is not None:
-                loader.shutdown()
+        # val loaders are one-shot: run_val/_fresh_val_loader own and shut
+        # them down per pass
+        if self.train_loader is not None:
+            self.train_loader.shutdown()
         self.ckpt.close()
 
 
@@ -385,8 +390,25 @@ class EndTaskTrackingSolver(EndTaskBaseSolver):
 
     def make_config(self) -> EndTaskConfig:
         cfg = super().make_config()
-        # dense features need the dilated backbone (reference train_tracking.sh
-        # uses ResNet18SiamFCDilated)
+        # Dense stride-8 features need the dilated backbone (reference
+        # end_tasks/train_tracking.sh uses ResNet18SiamFCDilated; the label
+        # maps in init_end_task_state assume image_size//8 response grids).
+        # Map a plain ResNet to its dilated variant rather than training
+        # against mis-sized labels; pretrain weights load either way (same
+        # param tree, dilation is a conv attribute).
+        if not cfg.backbone.endswith("SiamFCDilated"):
+            dilated = cfg.backbone + "SiamFCDilated"
+            from vince_tpu.models import backbones
+
+            if dilated not in backbones.__all__:
+                raise ValueError(
+                    f"tracking needs a stride-8 dilated backbone; no dilated "
+                    f"variant of {cfg.backbone!r} exists (use "
+                    f"ResNet18SiamFCDilated / ResNet50SiamFCDilated)"
+                )
+            print(f"tracking: using {dilated} (dense stride-8 features) "
+                  f"for --backbone {cfg.backbone}")
+            cfg = dataclasses.replace(cfg, backbone=dilated)
         return cfg
 
     def convert_batch(self, host_batch):

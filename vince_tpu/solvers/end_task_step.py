@@ -83,14 +83,24 @@ def build_models(cfg: EndTaskConfig):
     return encoder, decoder
 
 
-def build_optimizer(cfg: EndTaskConfig, base_lr: float, optimizer_kind: str = "adam"):
+def build_optimizer(cfg: EndTaskConfig, base_lr: float, optimizer_kind: str = "adam",
+                    schedule=None):
     """Per-head param-group LRs via multi_transform (reference
     end_task_classifier_solver.py:30-58: ImageNet=SGD momentum, others=Adam
-    wd=1e-4; frozen encoder ⇒ wd=0 on heads)."""
+    wd=1e-4; frozen encoder ⇒ wd=0 on heads).
+
+    ``schedule`` (optional ``step -> lr``, already including ``base_lr``)
+    applies the epoch decay + warmup inside the jitted optimizer — the
+    reference decays every end-task param group per epoch via
+    ``base_solver.py:107-129``; per-head scales multiply the decayed value.
+    """
     wd = 0.0 if cfg.freeze_feature_extractor else 1e-4
 
     def make_tx(scale):
-        lr = base_lr * scale
+        if schedule is not None:
+            lr = lambda step, s=scale: schedule(step) * s  # noqa: E731
+        else:
+            lr = base_lr * scale
         if optimizer_kind == "sgd":
             return optax.chain(optax.add_decayed_weights(wd), optax.sgd(lr, momentum=0.9))
         return optax.chain(optax.add_decayed_weights(wd), optax.adam(lr))
@@ -204,12 +214,16 @@ def make_end_task_train_step(
 
                 z_img = _finalize(batch["exemplar"].astype(jnp.float32) / 255.0, AugmentConfig())
                 x_img = _finalize(batch["search"].astype(jnp.float32) / 255.0, AugmentConfig())
-                zf, new_stats = _extract(
+                # chain the BN running stats through BOTH forwards (fine-tune
+                # mode): the search-image pass must update them too, or the
+                # running stats only ever see 127px exemplar crops while
+                # eval-mode inference normalizes 255px search images with them
+                zf, stats_z = _extract(
                     encoder, encoder_params, state.encoder_batch_stats,
                     z_img.astype(cfg.compute_dtype), train, frozen, spatial=True,
                 )
-                xf, _ = _extract(
-                    encoder, encoder_params, state.encoder_batch_stats,
+                xf, new_stats = _extract(
+                    encoder, encoder_params, stats_z,
                     x_img.astype(cfg.compute_dtype), train, frozen, spatial=True,
                 )
                 responses = decoder.apply({"params": decoder_params}, zf, xf)

@@ -34,6 +34,7 @@ from vince_tpu.solvers.vince_step import (
     init_vince_state,
     make_embed_fn,
     make_eval_step,
+    make_key_prefill_fn,
     make_panel_fn,
     make_train_step,
     shard_state,
@@ -227,6 +228,11 @@ class VinceSolver(BaseSolver):
         self.eval_step = make_eval_step(self.cfg, self.mesh)
         self.embed_fn = make_embed_fn(self.cfg, self.mesh)
         self.key_embed_fn = make_embed_fn(self.cfg, self.mesh, use_key_encoder=True)
+        self.key_prefill_fns = [
+            make_key_prefill_fn(self.cfg, self.mesh, i)
+            for i in range(len(self.sources))
+        ]
+        self._prefill_counter = 0
         self.panel_fn = make_panel_fn(self.cfg, self.mesh)
         self._batch_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
         # positional mirror of the device queue (one thumbnail per bank row);
@@ -308,10 +314,19 @@ class VinceSolver(BaseSolver):
 
     # ----------------------------------------------------------------- queue
     def _embed_batch_keys(self, device_batch):
-        """Key-encoder embeddings + source tags for one multi-source batch."""
+        """Key-encoder embeddings + source tags for one multi-source batch —
+        train-mode augmentation + train-mode key forward, so prefilled
+        vectors come from the same distribution as training-time enqueued
+        keys (reference fill_queue runs the full key model on transformed
+        loader batches, vince_solver.py:293-313)."""
         keys, srcs = [], []
-        for spec, src_batch in zip(self.sources, device_batch):
-            emb, _ = self.key_embed_fn(self.state, src_batch["queue_data"])
+        rng = jax.random.fold_in(
+            jax.random.PRNGKey(getattr(self.args, "seed", 0) + 1),
+            self._prefill_counter,
+        )
+        self._prefill_counter += 1
+        for i, (spec, src_batch) in enumerate(zip(self.sources, device_batch)):
+            emb = self.key_prefill_fns[i](self.state, src_batch["queue_data"], rng)
             e = np.asarray(jax.device_get(emb))
             keys.append(e)
             srcs.append(np.full((len(e),), spec.source_id, np.int32))
@@ -399,17 +414,25 @@ class VinceSolver(BaseSolver):
         return keys
 
     def run_train_iteration(self):
-        # jax.profiler trace capture (SURVEY §5.1: phase meters + XLA traces)
+        # jax.profiler trace capture (SURVEY §5.1: phase meters + XLA traces).
+        # Gate on the never-resetting global step and a one-shot flag —
+        # logger_iteration resets every epoch, which would re-enter
+        # start_trace next epoch if an epoch had <9 iterations.
         profile_dir = getattr(self.args, "profile_dir", "")
-        if profile_dir and self.logger_iteration == 5:
-            from jax import profiler as _profiler
+        if profile_dir and not getattr(self, "_trace_done", False):
+            gstep = int(np.asarray(self.state.step))
+            if gstep == 5 and not getattr(self, "_trace_active", False):
+                from jax import profiler as _profiler
 
-            _profiler.start_trace(profile_dir)
-        if profile_dir and self.logger_iteration == 8:
-            from jax import profiler as _profiler
+                _profiler.start_trace(profile_dir)
+                self._trace_active = True
+            elif gstep >= 8 and getattr(self, "_trace_active", False):
+                from jax import profiler as _profiler
 
-            _profiler.stop_trace()
-            print(f"profiler trace written to {profile_dir}")
+                _profiler.stop_trace()
+                self._trace_active = False
+                self._trace_done = True
+                print(f"profiler trace written to {profile_dir}")
         watch = Stopwatch().start()
         # with prefetch on (default) this is the residual wait on the staging
         # queue — the same meaning the reference's data_cache_time has over
@@ -538,7 +561,12 @@ class VinceSolver(BaseSolver):
         while time.time() - t_start < max_seconds and n < cap:
             host_batches = [loader.get_batch() for _, loader in self.val_loaders]
             device_batch = self._device_batch(host_batches)
-            metrics = jax.device_get(self.eval_step(self.state, device_batch, self._step_rng))
+            # fold the batch index in: eval_local derives randomness from
+            # (rng, state.step) and state.step is frozen during val — without
+            # this every val batch would reuse identical augmentation
+            # parameters and shuffle-BN permutation
+            metrics = jax.device_get(self.eval_step(
+                self.state, device_batch, jax.random.fold_in(self._step_rng, n)))
             for k, v in metrics.items():
                 epoch_meters.setdefault(k, AverageMeter()).update(float(np.asarray(v)))
             n += 1

@@ -555,6 +555,43 @@ def make_eval_step(cfg: VinceConfig, mesh):
     return jax.jit(wrapped)
 
 
+def make_key_prefill_fn(cfg: VinceConfig, mesh, src_idx: int):
+    """Jitted key embedder for queue prefill, matching the distribution of
+    training-time enqueued keys: train-mode key augmentation of the source's
+    ``queue_data`` + train-mode key-encoder forward (stat mutations
+    discarded). The reference prefill runs the full key model on transformed
+    loader batches (``vince_solver.py:293-313``) — eval-mode embeddings of
+    raw canvases would bias the early-NCE denominators until the ring turns
+    over."""
+    model = build_encoder(cfg)
+    src = cfg.sources[src_idx]
+    tcfg = make_config(src.transform, cfg.image_size)
+
+    def embed_local(params, batch_stats, images, rng):
+        d_idx = lax.axis_index(DATA_AXIS)
+        k_rng = jax.random.fold_in(jax.random.fold_in(rng, src_idx), d_idx)
+        imgs = augment_batch(k_rng, images, tcfg, train=True, dtype=cfg.compute_dtype)
+        out, _ = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            imgs, train=True, mutable=["batch_stats"],
+        )
+        return out["embeddings"].astype(jnp.float32)
+
+    def wrapped(state: VinceState, images, rng):
+        _, rest = split_vince_params(state.params)
+        params = merge_params(state.key_params, rest)
+        fn = jax.shard_map(
+            embed_local,
+            mesh=mesh,
+            in_specs=(P(), P(), P(DATA_AXIS), P()),
+            out_specs=P(DATA_AXIS),
+            check_vma=False,
+        )
+        return fn(params, state.key_batch_stats, images, rng)
+
+    return jax.jit(wrapped)
+
+
 def make_embed_fn(cfg: VinceConfig, mesh, use_key_encoder: bool = False):
     """Jitted embedding extractor for validation / kNN probes: uint8 images
     [B, H, W, 3] (data-sharded) → (embeddings, features), eval-mode BN."""
