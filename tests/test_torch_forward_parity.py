@@ -107,54 +107,92 @@ def test_forward_parity_eval_mode():
 
 
 def test_forward_parity_dilated():
-    """Dilated variant semantics (stride→dilation in layer3/4) vs torch dilated
-    convs — validates the SiamFC dense-feature path."""
+    """Full dilated-R18 network parity (the SiamFC dense-feature path):
+    replace_stride_with_dilation=(False, True, True) with the reference's
+    exact semantics — first block of a dilated stage keeps previous_dilation
+    (reference resnet.py:201-213), later blocks dilate, and the vendored
+    BasicBlock dilates ONLY conv1 (:68, conv2 stays dilation-1 :71)."""
     torch.manual_seed(1)
 
-    class TorchDilatedBlock(tnn.Module):
-        def __init__(self, cin, cout, dilation, downsample):
+    class TorchDilatedBasicBlock(tnn.Module):
+        def __init__(self, cin, cout, stride, dilation, downsample):
             super().__init__()
-            self.conv1 = tnn.Conv2d(cin, cout, 3, 1, dilation, dilation, bias=False)
+            # reference resnet.py:68-71 — conv1 dilated, conv2 NOT
+            self.conv1 = tnn.Conv2d(cin, cout, 3, stride, dilation, dilation, bias=False)
             self.bn1 = tnn.BatchNorm2d(cout)
-            self.conv2 = tnn.Conv2d(cout, cout, 3, 1, dilation, dilation, bias=False)
+            self.conv2 = tnn.Conv2d(cout, cout, 3, 1, 1, bias=False)
             self.bn2 = tnn.BatchNorm2d(cout)
             self.relu = tnn.ReLU()
-            self.down = (
-                tnn.Sequential(tnn.Conv2d(cin, cout, 1, 1, bias=False), tnn.BatchNorm2d(cout))
+            self.downsample = (
+                tnn.Sequential(tnn.Conv2d(cin, cout, 1, stride, bias=False),
+                               tnn.BatchNorm2d(cout))
                 if downsample else None
             )
 
         def forward(self, x):
-            identity = x if self.down is None else self.down(x)
+            identity = x if self.downsample is None else self.downsample(x)
             out = self.relu(self.bn1(self.conv1(x)))
             out = self.bn2(self.conv2(out))
             return self.relu(out + identity)
 
-    tblock = TorchDilatedBlock(64, 64, dilation=2, downsample=False).eval()
-    sd = {("conv1." + k if False else k): v.detach().numpy() for k, v in tblock.state_dict().items()}
+    class TorchResNet18Dilated(tnn.Module):
+        """reference _make_layer with replace_stride_with_dilation=(F, T, T)."""
 
-    from vince_tpu.models.resnet import BasicBlock
-    import functools
-    import flax.linen as nn
+        def __init__(self):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = tnn.BatchNorm2d(64)
+            self.relu = tnn.ReLU()
+            self.maxpool = tnn.MaxPool2d(3, 2, 1)
+            chans = [64, 64, 128, 256, 512]
+            dilate = [None, False, False, True, True]
+            dilation = 1
+            for layer in range(1, 5):
+                cin, cout = chans[layer - 1], chans[layer]
+                stride = 1 if layer == 1 else 2
+                previous_dilation = dilation
+                if dilate[layer]:
+                    dilation *= stride
+                    stride = 1
+                blocks = tnn.Sequential(
+                    TorchDilatedBasicBlock(
+                        cin, cout, stride, previous_dilation,
+                        downsample=(stride != 1 or cin != cout)),
+                    TorchDilatedBasicBlock(cout, cout, 1, dilation, downsample=False),
+                )
+                setattr(self, f"layer{layer}", blocks)
 
-    norm = functools.partial(nn.BatchNorm, use_running_average=True)
-    jblock = BasicBlock(filters=64, norm=norm, strides=1, dilation=2, downsample=False)
-    # map names: conv1/conv2/bn1/bn2
-    params = {
-        "conv1": {"kernel": sd["conv1.weight"].transpose(2, 3, 1, 0)},
-        "conv2": {"kernel": sd["conv2.weight"].transpose(2, 3, 1, 0)},
-    }
-    stats = {}
-    for bn in ("bn1", "bn2"):
-        params[bn] = {"scale": sd[f"{bn}.weight"], "bias": sd[f"{bn}.bias"]}
-        stats[bn] = {"mean": sd[f"{bn}.running_mean"], "var": sd[f"{bn}.running_var"]}
+        def forward(self, x):
+            x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            for layer in range(1, 5):
+                x = getattr(self, f"layer{layer}")(x)
+            return x
+
+    tmodel = TorchResNet18Dilated().eval()
+    with torch.no_grad():
+        for m in tmodel.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 1.5)
+                m.weight.uniform_(0.5, 1.5)
+                m.bias.uniform_(-0.5, 0.5)
+
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    params, stats = convert_resnet_state_dict(sd)
 
     rng = np.random.RandomState(2)
-    x = rng.randn(1, 16, 16, 64).astype(np.float32)
+    x = rng.randn(1, 64, 64, 3).astype(np.float32)
     with torch.no_grad():
-        t_out = tblock(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
-    j_out = np.asarray(jblock.apply({"params": params, "batch_stats": stats}, jnp.asarray(x)))
-    np.testing.assert_allclose(j_out, t_out, rtol=2e-3, atol=2e-4)
+        t_out = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    t_out = t_out.transpose(0, 2, 3, 1)
+
+    jmodel = resnet.ResNet18SiamFCDilated()
+    j_out = np.asarray(
+        jmodel.apply({"params": params, "batch_stats": stats}, jnp.asarray(x), train=False)
+    )
+    # stride 8 retained: 64 // 8 = 8 spatial
+    assert j_out.shape == t_out.shape == (1, 8, 8, 512)
+    np.testing.assert_allclose(j_out, t_out, rtol=2e-3, atol=3e-4)
 
 
 # ---------------------------------------------------------------------------

@@ -219,6 +219,10 @@ class PersistentDataLoader:
     def get_batch(self, timeout: Optional[float] = None):
         if self.use_processes:
             while True:
+                if not self._pending:
+                    # end of data (never_ending=False): _fill_pending found
+                    # no more indices — mirror thread mode's None sentinel
+                    return None
                 # peek-then-pop: a bounded-timeout get (prefetch thread polls
                 # its kill flag) must not drop the in-flight job on timeout
                 job = self._pending[0]
@@ -237,6 +241,8 @@ class PersistentDataLoader:
         while True:
             batch = self.get_batch()
             if batch is None:
+                if self.use_processes:
+                    return  # single end-of-data signal (no per-worker sentinels)
                 finished += 1
                 if finished >= self.num_workers:
                     return

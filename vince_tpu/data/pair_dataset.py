@@ -43,6 +43,9 @@ class PairDataset(BaseDataset):
         c1 = areas >= 20
         c2 = np.all(anno[:, 2:] >= 20, axis=1)
         c3 = np.all(anno[:, 2:] <= 500, axis=1)
+        # NOTE: (w, h) box sizes divided by (h, w) image size — the axis mix
+        # is the reference's own behavior (pair_dataset.py:105 keeps
+        # cv2 shape[:2] order); kept bug-for-bug for identical pair selection
         c4 = np.all((anno[:, 2:] / size) >= 0.01, axis=1)
         c5 = np.all((anno[:, 2:] / size) <= 0.5, axis=1)
         c6 = (anno[:, 2] / np.maximum(1, anno[:, 3])) >= 0.25

@@ -357,11 +357,13 @@ class BasicBlock(nn.Module):
         )(x)
         y = self.norm(name="bn1")(y)
         y = nn.relu(y)
+        # conv2 is UNDILATED in the reference's vendored BasicBlock
+        # (resnet.py:71 — conv3x3(planes, planes), dilation 1) even when the
+        # stage is dilated; only conv1 carries the dilation (:68)
         y = nn.Conv(
             self.filters,
             (3, 3),
-            padding=[(self.dilation, self.dilation)] * 2,
-            kernel_dilation=(self.dilation, self.dilation),
+            padding=[(1, 1)] * 2,
             use_bias=False,
             name="conv2",
         )(y)
@@ -538,7 +540,10 @@ class ResNet(nn.Module):
         for stage, num_blocks in enumerate(self.stage_sizes):
             filters = self.num_filters * (2 ** stage)
             stride = 1 if stage == 0 else 2
-            # reference resnet.py:176-186 — convert stride to dilation per stage
+            # reference resnet.py:176-186 — convert stride to dilation per
+            # stage; torchvision's first block of a dilated stage keeps
+            # previous_dilation (resnet.py:201-213), later blocks dilate
+            prev_dilation = dilation
             if stage > 0 and self.replace_stride_with_dilation[stage - 1]:
                 dilation *= stride
                 stride = 1
@@ -556,7 +561,7 @@ class ResNet(nn.Module):
                     filters=filters,
                     norm=norm,
                     strides=s,
-                    dilation=dilation,
+                    dilation=prev_dilation if block == 0 else dilation,
                     downsample=needs_down,
                     fold_cfg=fold_cfg,
                     name=f"layer{stage + 1}_{block}",

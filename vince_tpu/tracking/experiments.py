@@ -55,7 +55,6 @@ class ExperimentOTB:
         self.nbins_ce = 51
 
     def run(self, tracker) -> Dict[str, float]:
-        all_ious, all_errors = [], []
         per_seq = {}
         os.makedirs(self.result_dir, exist_ok=True)
         for i in range(len(self.sequences)):
@@ -64,8 +63,6 @@ class ExperimentOTB:
             t0 = time.time()
             boxes, times = tracker.track(img_files, anno[0])
             m = compute_metrics(boxes, anno)
-            all_ious.append(m["ious"])
-            all_errors.append(m["center_errors"])
             fps = len(img_files) / max(times.sum(), 1e-9)
             per_seq[name] = {
                 "success_auc": float(self._success_auc(m["ious"])),
@@ -75,8 +72,6 @@ class ExperimentOTB:
             print(f"  [{i + 1}/{len(self.sequences)}] {name}: "
                   f"prec={per_seq[name]['precision_20px']:.3f} "
                   f"succ={per_seq[name]['success_auc']:.3f} fps={fps:.1f}")
-        ious = np.concatenate(all_ious)
-        errors = np.concatenate(all_errors)
         results = {
             # OTB convention: average per-sequence scores
             "precision": float(np.mean([s["precision_20px"] for s in per_seq.values()])),

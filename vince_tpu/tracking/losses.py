@@ -89,8 +89,8 @@ def ghmc_loss(
         denom = counts
     bin_w = jnp.where(counts > 0, tot / jnp.maximum(denom, 1e-12), 0.0)
     weights = bin_w[bin_idx].reshape(g.shape)
-    n_nonempty = jnp.maximum((counts > 0).sum(), 1)
-    weights = weights / jnp.maximum(weights.sum() / (tot / n_nonempty * n_nonempty), 1e-12)
+    # reference losses.py:91 — mean-normalize once (every sample lands in
+    # some bin, so the mean is strictly positive)
     weights = weights / jnp.maximum(weights.mean(), 1e-12)
     bce = -(target * log_sigmoid(logits) + (1 - target) * log_minus_sigmoid(logits))
     loss = jnp.sum(bce * weights) / tot

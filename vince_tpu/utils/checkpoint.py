@@ -65,16 +65,22 @@ class CheckpointManager:
 
     def save(self, step: int, state: Any, force_long: bool = False):
         """Rolling save; every ``long_save_frequency``-th call also writes a
-        permanent copy (reference base_model.py:21-26 'long save')."""
+        permanent copy (reference base_model.py:21-26 'long save').
+
+        The write is async: solvers pass host-side numpy (``jax.device_get``
+        copies, no aliasing with donated device buffers), so orbax's
+        background serialization+disk write overlaps the next train steps.
+        We drain any still-in-flight previous write first; ``close()`` (and
+        orbax's ``manager.close()``) waits for the final one."""
+        self.manager.wait_until_finished()
+        if self.long_manager:
+            self.long_manager.wait_until_finished()
         self.manager.save(int(step), args=ocp.args.StandardSave(state))
         self._save_count += 1
         if self.long_manager and (
             force_long or self._save_count % self.long_save_frequency == 0
         ):
             self.long_manager.save(int(step), args=ocp.args.StandardSave(state))
-        self.manager.wait_until_finished()
-        if self.long_manager:
-            self.long_manager.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
         return self.manager.latest_step()
