@@ -208,21 +208,29 @@ def main():
 
     watchdog = _start_watchdog(float(os.environ.get("BENCH_TIMEOUT", 1500)))
 
+    requested_batch = batch
     try:
         fps = run_bench(batch, steps, backbone, image, queue_size)
-    except Exception as e:  # OOM fallback: halve the batch once
-        print(f"# bench failed at b={batch} ({type(e).__name__}); retrying b={batch//2}",
-              file=sys.stderr)
+    except Exception as e:
+        # OOM fallback ONLY — anything else (shape bug, NaN loss, non-physical
+        # timing assert) must fail loudly, not get laundered into a
+        # half-batch "success"
+        if "RESOURCE_EXHAUSTED" not in repr(e) and "out of memory" not in repr(e).lower():
+            raise
+        print(f"# bench OOM at b={batch}; retrying b={batch//2}", file=sys.stderr)
         batch //= 2
         fps = run_bench(batch, steps, backbone, image, queue_size)
     watchdog.cancel()
 
-    print(json.dumps({
+    result = {
         "metric": "vince_pretrain_frames_per_sec_per_chip_rn50",
         "value": round(fps, 2),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / REFERENCE_BASELINE_FPS_PER_CHIP, 3),
-    }))
+    }
+    if batch != requested_batch:
+        result["batch"] = batch  # flag that the OOM fallback changed the config
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

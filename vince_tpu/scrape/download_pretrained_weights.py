@@ -43,7 +43,8 @@ def main(argv=None):
                          f"Fetch the tar manually from {url} and re-run.")
     try:
         with tarfile.open(tar_path) as tf:
-            tf.extractall(args.output_path)
+            # filter="data": no path traversal out of output_path
+            tf.extractall(args.output_path, filter="data")
     except tarfile.ReadError as e:
         raise SystemExit(
             f"{tar_path} is not a tar ({e}) — Drive likely served an "
@@ -62,6 +63,13 @@ def main(argv=None):
     print(f"extracted: {ckpts}")
     if args.skip_convert:
         return
+    # tools/ is a script directory (no package): resolve it from the repo
+    # layout so the conversion works from any cwd / an installed vince_tpu
+    import sys
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    if repo_root not in sys.path:
+        sys.path.insert(0, repo_root)
     from tools.convert_reference_checkpoint import main as convert
 
     out = os.path.join(args.output_path, f"orbax_{args.backbone.lower()}")

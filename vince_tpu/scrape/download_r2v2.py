@@ -41,8 +41,13 @@ def main(argv=None):
             # (plain GETs of these multi-hundred-MB tars return HTML)
             fetch_url(url, tar_path)
             with tarfile.open(tar_path) as tf:
-                tf.extractall(args.output_path)
-        except (OSError, tarfile.ReadError) as e:
+                # filter="data": never extract paths outside output_path
+                # (these tars come from user-editable Drive URL lists)
+                tf.extractall(args.output_path, filter="data")
+        except Exception as e:
+            # per-shard tolerance must cover ALL failure shapes: bad URL
+            # lines (ValueError), truncated bodies (http.client errors),
+            # interstitial HTML (ReadError), network (OSError)
             print(f"shard {tag} failed ({type(e).__name__}: {e}); continuing")
             failed.append(tag)
             continue

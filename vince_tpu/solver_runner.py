@@ -28,8 +28,12 @@ def get_solver_class(name: str):
             EndTaskTrackingSolver=EndTaskTrackingSolver,
             EndTaskKinetics400Solver=EndTaskKinetics400Solver,
         )
-    except ImportError:
-        pass
+    except ImportError as e:
+        # tolerated only for genuinely optional deps; say what failed so a
+        # real import bug doesn't surface later as a bare KeyError for a
+        # valid solver name
+        print(f"end-task solvers unavailable ({e}); registry has: "
+              f"{sorted(registry)}")
     return registry[name]
 
 
@@ -63,6 +67,9 @@ def main(argv=None):
             solver.epoch += 1
     except Exception:
         traceback.print_exc()
+        failed = True
+    else:
+        failed = False
     finally:
         # crash-save parity (solver_runner.py:49-54) — save BEFORE shutdown
         if args.save:
@@ -74,6 +81,10 @@ def main(argv=None):
         for logger in (train_logger, val_logger):
             if logger is not None:
                 logger.close()
+    if failed:
+        # the reference swallows the exception after the crash-save (exit 0
+        # even on failure); shell drivers and sweeps need the truth
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

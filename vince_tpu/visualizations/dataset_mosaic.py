@@ -23,6 +23,8 @@ def sample_mosaic(dataset, rows: int = 16, cols: int = 16) -> np.ndarray:
             continue
         img = item["data"][0] if item["data"].ndim == 4 else item["data"]
         images.append(img)
+    if not images:
+        raise ValueError("no readable images in the dataset")
     h, w = images[0].shape[:2]
     return subplot(images, rows, cols, w, h)
 

@@ -39,7 +39,7 @@ def input_pair_grid(
         for ss in range(nf):
             images.append(draw_border(keys[bb, ss].copy(), ORANGE))
     n_cols = max(2 * nf, 8)
-    n_rows = max(len(images) // n_cols, 1)
+    n_rows = max(-(-len(images) // n_cols), 1)  # ceil: don't drop the tail row
     return subplot(images, n_rows, n_cols, w, h)
 
 
@@ -124,7 +124,7 @@ def imagenet_prediction_grid(
             )
         images.append(img)
     n_cols = max(int(np.sqrt(len(images))), 1)
-    n_rows = max(len(images) // n_cols, 1)
+    n_rows = max(-(-len(images) // n_cols), 1)  # ceil: don't drop the tail row
     return subplot(images, n_rows, n_cols, w, h)
 
 
@@ -163,5 +163,5 @@ def attention_panel(
         ]
         blocks.append(subplot(imgs, 2, 2, w, h))
     n_cols = max(int(np.sqrt(len(blocks))), 1)
-    n_rows = max(len(blocks) // n_cols, 1)
+    n_rows = max(-(-len(blocks) // n_cols), 1)  # ceil: don't drop the tail row
     return subplot(blocks, n_rows, n_cols, w * 2, h * 2, border=5)

@@ -22,21 +22,32 @@ def embed_dataset(solver, dataset, num_images: int, batch_size: int):
     images, embeddings = [], []
     n = min(num_images, len(dataset))
     batch = []
+
+    def flush():
+        # pad to the jitted batch shape but keep only the valid rows —
+        # pad duplicates must not leak into the returned arrays
+        valid = len(batch)
+        while len(batch) < batch_size:
+            batch.append(batch[-1])
+        arr = np.stack(batch)
+        emb, _ = solver.embed_fn(solver.state, jnp.asarray(arr))
+        embeddings.append(np.asarray(jax.device_get(emb))[:valid])
+        images.extend(batch[:valid])
+        batch.clear()
+
     for i in range(n):
         item = dataset[i]
-        if item is None:
+        if item is None:  # tolerate failed reads; tail flushed after the loop
             continue
         img = item["data"][0] if item["data"].ndim == 4 else item["data"]
         batch.append(img)
-        if len(batch) == batch_size or i == n - 1:
-            while len(batch) < batch_size:
-                batch.append(batch[-1])
-            arr = np.stack(batch)
-            emb, _ = solver.embed_fn(solver.state, jnp.asarray(arr))
-            embeddings.append(np.asarray(jax.device_get(emb)))
-            images.extend(batch)
-            batch = []
-    return np.stack(images[:n]), np.concatenate(embeddings)[:n]
+        if len(batch) == batch_size:
+            flush()
+    if batch:
+        flush()
+    if not images:
+        raise ValueError("no readable images in the dataset")
+    return np.stack(images), np.concatenate(embeddings)
 
 
 def pca_reduce(features: np.ndarray, dim: int = 64) -> np.ndarray:
