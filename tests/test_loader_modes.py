@@ -23,6 +23,10 @@ def _collate(items):
     }
 
 
+# JAX warns that fork+threads can deadlock; the forked decode workers never
+# touch JAX (host numpy only), which is exactly why the loader forks —
+# expected, not a bug
+@pytest.mark.filterwarnings("ignore:os.fork\\(\\) was called:RuntimeWarning")
 @pytest.mark.parametrize("use_processes", [False, True])
 def test_one_shot_iteration_terminates(use_processes):
     from vince_tpu.data.loader import PersistentDataLoader
