@@ -70,4 +70,6 @@ def test_enqueue_jit_and_donation():
     items = jnp.ones((32, 16))
     for _ in range(5):
         q = step(q, items)
-    assert int(q.total) == 160 and bool(q.full)
+    # total saturates at K (int32 overflow guard) — 5*32=160 inserts cap at 128
+    assert int(q.total) == 128 and bool(q.full)
+    assert int(q.tail) == 32  # tail keeps wrapping past saturation

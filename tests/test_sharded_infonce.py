@@ -195,3 +195,44 @@ def test_production_shape_queue_sharding(cpu_devices):
     rebuilt = np.concatenate([np.asarray(bk.vectors) for bk in banks])
     np.testing.assert_allclose(rebuilt, np.asarray(ref_bank.vectors), rtol=1e-6)
     assert int(banks[0].tail) == int(ref_bank.tail) == 156
+
+
+def test_sharded_fused_value_and_grad_parity(cpu_devices):
+    """Fused-kernel branch (queue_logsumexp partials) under QUEUE SHARDING:
+    value_and_grad must trace (the max feeding lax.pmax has to be detached —
+    pmax has no differentiation rule) and match the eager sharded path."""
+    bg, d, k, nf = 16, 128, 64, 2  # d=128: the kernel's lane-width contract
+    q, kb, queue, mask_full = _data(b=bg, bg=bg, d=d, k=k, nf=nf)
+    mesh = make_mesh(MeshSpec(data_axis_size=2, queue_axis_size=4))
+    mq = 4
+
+    def make_fn(fused):
+        def local_loss(q_loc, k_glob, mask_loc, queue_shard):
+            out = sharded_multi_pair_infonce(
+                q_loc, k_glob, mask_loc, 0.07,
+                queue_shard=queue_shard, queue_axis="queue",
+                use_fused_queue_kernel=fused,
+            )
+            return out["dist"] / mq
+
+        def inner(q_loc, k_glob, mask_loc, queue_shard):
+            loss, g = jax.value_and_grad(local_loss)(
+                q_loc, k_glob, mask_loc, queue_shard)
+            g = jax.lax.psum(g, "queue")
+            loss = jax.lax.psum(loss, "queue")
+            return loss.reshape(1), g
+
+        return jax.jit(jax.shard_map(
+            inner, mesh=mesh,
+            in_specs=(P("data"), P(), P("data"), P("queue")),
+            out_specs=(P("data"), P("data")),
+            check_vma=False,
+        ))
+
+    args = (jnp.asarray(q), jnp.asarray(kb), jnp.asarray(mask_full),
+            jnp.asarray(queue))
+    loss_f, grad_f = make_fn(True)(*args)
+    loss_e, grad_e = make_fn(False)(*args)
+    np.testing.assert_allclose(np.asarray(loss_f), np.asarray(loss_e), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(grad_f), np.asarray(grad_e),
+                               rtol=1e-4, atol=1e-7)

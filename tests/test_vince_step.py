@@ -103,7 +103,8 @@ def test_multiple_steps_and_wraparound(setup):
         batch = _make_batch(cfg, rng)
         state, metrics = step_fn(state, batch, jax.random.PRNGKey(2))
     assert int(state.step) == 6
-    assert int(state.queue.total) == 144
+    # total saturates at queue_size (int32 overflow guard): 6*24=144 → 128
+    assert int(state.queue.total) == cfg.queue_size
     assert bool(state.queue.total >= cfg.queue_size)  # full after wraparound
     assert int(state.queue.tail) == 144 % 128
     assert np.isfinite(jax.device_get(metrics["loss/total_loss"]))

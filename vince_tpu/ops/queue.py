@@ -32,7 +32,11 @@ class QueueState:
     vectors: jax.Array  # [K, D] float32, L2-normalized rows
     sources: jax.Array  # [K] int32 data-source tags (-1 = virgin random init)
     tail: jax.Array  # scalar int32 — next insert position
-    total: jax.Array  # scalar int32 — lifetime inserts (full ⇔ total >= K)
+    # fill counter, SATURATED at the global K by the enqueue ops (its only
+    # consumers are `full` and the solver's restored-bank gate `total > 0`;
+    # a raw lifetime count would overflow int32 after ~2.1e9 inserts and flip
+    # both answers)
+    total: jax.Array
 
     @property
     def maxsize(self) -> int:
@@ -40,6 +44,8 @@ class QueueState:
 
     @property
     def full(self) -> jax.Array:
+        """Valid on an UNSHARDED state only: a shard state's vectors hold
+        K/num_shards rows while ``total`` counts global inserts."""
         return self.total >= self.maxsize
 
 
@@ -74,7 +80,7 @@ def enqueue(state: QueueState, items: jax.Array, source: Optional[jax.Array] = N
         vectors=vectors,
         sources=sources,
         tail=(state.tail + b) % k,
-        total=state.total + b,
+        total=jnp.minimum(state.total + b, k),
     )
 
 
@@ -116,7 +122,7 @@ def enqueue_sharded(
         vectors=vectors,
         sources=sources,
         tail=(state.tail + b) % k_global,
-        total=state.total + b,
+        total=jnp.minimum(state.total + b, k_global),
     )
 
 

@@ -57,7 +57,9 @@ def sharded_multi_pair_infonce(
 
         m_loc, s_loc = queue_logsumexp(q_local, queue_shard, temperature)
         queue_kernel_partials = (m_loc[:, None], s_loc[:, None])
-        m_queue = queue_kernel_partials[0]  # already detached by the kernel vjp
+        # the kernel's custom VJP discards dm, but m itself is NOT detached
+        # in the forward — stop_gradient before pmax (no differentiation rule)
+        m_queue = lax.stop_gradient(queue_kernel_partials[0])
         s_queue_max_raw = m_queue * temperature
         if queue_axis is not None:
             m_queue = lax.pmax(m_queue, queue_axis)

@@ -170,6 +170,14 @@ class VinceSolver(BaseSolver):
             fold_kernel=getattr(args, "fold_kernel", False),
             dw_kind=getattr(args, "dw_kind", "conv"),
         )
+        if self.cfg.use_fused_infonce and self.cfg.embed_size % 128 != 0:
+            # the streaming kernel's lane-width contract — _fwd_impl silently
+            # falls back to the materializing XLA path otherwise
+            print(
+                f"NOTE: fused InfoNCE needs embed_size % 128 == 0 (got "
+                f"{self.cfg.embed_size}); using the XLA path (identical "
+                f"numerics, materializes the [B, B+K] logits)"
+            )
         self.optimizer = self._build_optimizer()
         state = init_vince_state(jax.random.PRNGKey(getattr(args, "seed", 0)), self.cfg, self.optimizer)
 

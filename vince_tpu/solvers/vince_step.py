@@ -253,13 +253,10 @@ def _augment_sources(cfg: VinceConfig, batch, rng, d_idx, mode: str = "train"):
     return jnp.concatenate(q_imgs, 0), jnp.concatenate(k_imgs, 0)
 
 
-def _split_sources(cfg: VinceConfig, x, local=True):
-    out, off = [], 0
-    for src in cfg.sources:
-        b = cfg.local_batch(src) if local else src.batch_size
-        out.append(x[off : off + b])
-        off += b
-    return out
+def _split_sources(cfg: VinceConfig, x):
+    """Per-source slices of a locally-concatenated array — ONE offset
+    convention, shared with the key-block/mask layout via _source_offsets."""
+    return [x[a:b] for a, b in _source_offsets(cfg)]
 
 
 def make_train_step_fn(
@@ -308,7 +305,9 @@ def make_train_step_fn(
             state.key_params,
             state.key_batch_stats,
             k_in,
-            jax.random.fold_in(step_rng, 2),
+            # fold d_idx: jigsaw perms must be per-sample ACROSS devices
+            # (reference vince_model.py:166), not repeated on every shard
+            jax.random.fold_in(jax.random.fold_in(step_rng, 2), d_idx),
             jigsaw=(jigsaw_side == "key"),
         )
         k_emb_local = lax.stop_gradient(k_out["embeddings"].astype(jnp.float32))
@@ -333,7 +332,7 @@ def make_train_step_fn(
                 params,
                 state.batch_stats,
                 q_all,
-                jax.random.fold_in(step_rng, 3),
+                jax.random.fold_in(jax.random.fold_in(step_rng, 3), d_idx),
                 jigsaw=(jigsaw_side == "query"),
             )
             q_emb = out["embeddings"].astype(jnp.float32)
@@ -524,6 +523,15 @@ def make_eval_step(cfg: VinceConfig, mesh):
             metrics.setdefault("loss/nce_loss", []).append(res["dist"])
             for mk in ("nce_accuracy", "softmax_weight", "cosine_sim", "cosine_sim_neg_max"):
                 metrics.setdefault(mk, []).append(res[mk])
+            if cfg.self_batch:
+                # same forward/loss path as training: val must report the
+                # full objective or train-vs-val totals show a spurious gap
+                q_self_global = gather_global_batch(q_sources[si]).reshape(-1, embed_dim)
+                self_res = sharded_multi_pair_infonce(
+                    q_sources[si], q_self_global, mask, cfg.self_temperature,
+                )
+                metrics.setdefault("loss/nce_loss_self", []).append(self_res["dist"])
+                metrics.setdefault("nce_accuracy_self", []).append(self_res["nce_accuracy"])
             if src.use_imagenet_ce:
                 logits0, logits1 = model.apply(
                     {"params": state.params}, feat_sources[si],
