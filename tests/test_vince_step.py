@@ -110,6 +110,28 @@ def test_multiple_steps_and_wraparound(setup):
     assert np.isfinite(jax.device_get(metrics["loss/total_loss"]))
 
 
+def test_eval_step_reports_full_objective(setup):
+    """make_eval_step with self_batch + ImageNet-CE sources: val reports every
+    training-loss channel (nce, self-batch nce, both decoder CEs) so
+    train-vs-val totals are comparable; all finite, accuracies in [0,1]."""
+    from vince_tpu.solvers.vince_step import make_eval_step
+
+    cfg, mesh, optimizer, make_state, _ = setup
+    state = make_state()
+    batch = _make_batch(cfg, np.random.RandomState(5))
+    eval_fn = make_eval_step(cfg, mesh)
+    metrics = jax.device_get(eval_fn(state, batch, jax.random.PRNGKey(9)))
+    for k in (
+        "loss/nce_loss", "loss/nce_loss_self", "nce_accuracy_self",
+        "loss/imagenet_loss_0", "loss/imagenet_loss_1",
+        "imagenet_accuracy_0", "imagenet_accuracy_1",
+    ):
+        assert k in metrics, k
+        assert np.isfinite(metrics[k]), (k, metrics[k])
+    for k in ("nce_accuracy", "nce_accuracy_self", "imagenet_accuracy_0"):
+        assert 0.0 <= float(metrics[k]) <= 1.0, (k, metrics[k])
+
+
 def test_embed_fn(setup):
     cfg, mesh, optimizer, make_state, step_fn = setup
     state = make_state()
