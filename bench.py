@@ -195,7 +195,10 @@ def main():
     image = int(os.environ.get("BENCH_IMAGE", 224))
     queue_size = int(os.environ.get("BENCH_QUEUE", 65536))
 
-    if not _wait_for_backend(float(os.environ.get("BENCH_TUNNEL_WAIT", 900))):
+    # Observed tunnel wedges last tens of minutes to hours; the compute
+    # watchdog (BENCH_TIMEOUT) only starts once the backend answers, so a
+    # long pre-flight wait costs nothing when the tunnel is healthy.
+    if not _wait_for_backend(float(os.environ.get("BENCH_TUNNEL_WAIT", 2400))):
         print(json.dumps({
             "metric": "vince_pretrain_frames_per_sec_per_chip_rn50",
             "value": 0.0,
