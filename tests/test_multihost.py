@@ -1,0 +1,168 @@
+"""Multi-host (multi-controller) support.
+
+Real 2-process CPU cluster (gloo collectives, 2 local devices each = 4 global
+— the offline pod simulation): both processes drive the full training CLI
+with ``--distributed``, sharded loaders feed disjoint slices, the queue-
+sharded 2×2 (data × queue) mesh spans processes, and the orbax checkpoint is
+written cooperatively. A single-process run then restores that checkpoint on
+a different mesh (elastic across process counts, SCALING.md).
+
+Plus single-process unit coverage of the multihost helpers (they must
+degrade to plain JAX calls) and the loader's shard slicing.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+# --------------------------------------------------------------- unit layer
+def test_loader_shards_are_disjoint_and_cover():
+    from vince_tpu.data.loader import PersistentDataLoader
+
+    class Toy:
+        def __len__(self):
+            return 13
+
+        def __getitem__(self, i):
+            return i
+
+    orders = []
+    for sid in range(3):
+        ld = PersistentDataLoader(
+            batch_size=2, num_workers=1, shuffle=True, never_ending=False,
+            num_shards=3, shard_id=sid, seed=7,
+        )
+        ld.dataset = Toy()
+        ld._rng = np.random.RandomState(ld.seed)
+        ld._reshuffle()
+        orders.append(list(ld._order))
+    union = sorted(sum(orders, []))
+    assert union == list(range(13))  # disjoint cover of the dataset
+    sizes = sorted(len(o) for o in orders)
+    assert sizes == [4, 4, 5]
+
+
+def test_multihost_helpers_degrade_single_process(cpu_devices):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vince_tpu.parallel import multihost
+    from vince_tpu.parallel.mesh import MeshSpec, make_mesh
+
+    assert multihost.process_count() == 1 and multihost.is_primary()
+    mesh = make_mesh(MeshSpec(4, 2))
+    s_data = NamedSharding(mesh, P("data"))
+    x = np.arange(32, dtype=np.float32).reshape(8, 4)
+    staged = multihost.stage(s_data, x)
+    np.testing.assert_array_equal(np.asarray(staged), x)
+    assert staged.sharding == s_data
+
+    g = multihost.global_from_full_host(NamedSharding(mesh, P("queue")), x)
+    np.testing.assert_array_equal(np.asarray(g), x)
+
+    assert multihost.local_rows(8) == 8
+    np.testing.assert_array_equal(multihost.fetch(staged), x)
+    np.testing.assert_array_equal(multihost.local_view(staged), x)
+    np.testing.assert_array_equal(
+        multihost.host_allsum([1.5, 2.5]), np.asarray([1.5, 2.5])
+    )
+    tree = {"a": np.ones(3), "b": 2.0}
+    same = multihost.broadcast_host(tree)
+    assert same is tree  # identity when single-process
+
+    placed = multihost.place(
+        {"a": s_data, "b": NamedSharding(mesh, P())},
+        {"a": x, "b": jnp.float32(3.0)},
+    )
+    np.testing.assert_array_equal(np.asarray(placed["a"]), x)
+    assert float(placed["b"]) == 3.0
+
+
+# ------------------------------------------------------- 2-process cluster
+def _worker_cmd(port, pid, tmp, extra=()):
+    return [
+        sys.executable, os.path.join(REPO, "solver_runner.py"),
+        "--title", "mh_run", "--description", "smoke",
+        "--solver", "VinceSolver", "--dataset", "SyntheticVideoDataset",
+        "--use-videos", "--inter-batch-comparison", "--num-frames", "2",
+        "--batch-size", "16", "--input-width", "32", "--input-height", "32",
+        "--vince-queue-size", "64", "--vince-embedding-size", "16",
+        "--iterations-per-epoch", "3", "--epochs", "1", "--base-lr", "0.03",
+        "--base-logdir", tmp, "--mesh-data-size", "2", "--mesh-queue-size", "2",
+        "--num-workers", "2", "--synthetic-num-videos", "32",
+        "--save-frequency", "100", "--platform", "cpu",
+        "--distributed", "--coordinator-address", f"localhost:{port}",
+        "--num-processes", "2", "--process-id", str(pid),
+    ] + list(extra)
+
+
+@pytest.mark.slow
+def test_two_process_training_and_elastic_restore(tmp_path):
+    tmp = str(tmp_path)
+    port = 21000 + os.getpid() % 20000
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("JAX_PLATFORM_NAME", None)
+
+    procs = [
+        subprocess.Popen(
+            _worker_cmd(port, pid, tmp),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=REPO, env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
+
+    # process 0 owns logging: the val line appears exactly there
+    assert "val:" in outs[0]
+    assert "distributed: process 0/2" in outs[0]
+    assert "distributed: process 1/2" in outs[1]
+    assert "val:" not in outs[1] or outs[1].count("val:") <= outs[0].count("val:")
+    # both trained the same global steps: the queue fill + 3 iterations
+    for out in outs:
+        assert "Queue filled with repeats" in out
+
+    ckpt_dir = os.path.join(tmp, "mh_run", "checkpoints_smoke")
+    assert os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir)
+
+    # elastic restore: a SINGLE process (4 virtual devices, 4x1 mesh) resumes
+    # the 2-process checkpoint and trains one more epoch
+    env2 = dict(env)
+    env2["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    cmd = [
+        sys.executable, os.path.join(REPO, "solver_runner.py"),
+        "--title", "mh_run", "--description", "smoke",
+        "--solver", "VinceSolver", "--dataset", "SyntheticVideoDataset",
+        "--use-videos", "--inter-batch-comparison", "--num-frames", "2",
+        "--batch-size", "16", "--input-width", "32", "--input-height", "32",
+        "--vince-queue-size", "64", "--vince-embedding-size", "16",
+        "--iterations-per-epoch", "3", "--epochs", "2", "--base-lr", "0.03",
+        "--base-logdir", tmp, "--mesh-data-size", "4", "--mesh-queue-size", "1",
+        "--num-workers", "2", "--synthetic-num-videos", "32",
+        "--save-frequency", "100", "--platform", "cpu",
+    ]
+    res = subprocess.run(
+        cmd, capture_output=True, text=True, cwd=REPO, env=env2, timeout=900
+    )
+    assert res.returncode == 0, res.stdout[-4000:] + res.stderr[-2000:]
+    assert "Restored step 3; resuming epoch 1" in res.stdout
+    assert "val:" in res.stdout

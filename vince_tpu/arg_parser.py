@@ -146,6 +146,21 @@ def build_parser() -> argparse.ArgumentParser:
         "axis when --mesh-data-size is unset (the DataParallel analog).",
     )
     parser.add_argument(
+        "--distributed", action="store_true",
+        help="Multi-host (multi-controller) run: jax.distributed.initialize "
+        "before any device use. On TPU pods the coordinator auto-detects; "
+        "manual clusters pass the three flags below. Every process runs the "
+        "same command; loaders feed each process its slice of the batch.",
+    )
+    parser.add_argument(
+        "--coordinator-address", type=str, default="",
+        help="host:port of process 0 (unset = auto-detect, TPU pods only).",
+    )
+    parser.add_argument("--num-processes", type=int, default=0,
+                        help="Total controller processes (0 = auto-detect).")
+    parser.add_argument("--process-id", type=int, default=-1,
+                        help="This process's id (-1 = auto-detect).")
+    parser.add_argument(
         "--compute-dtype", default=None, choices=["float32", "bfloat16"],
         help="Encoder compute dtype (bfloat16 on real TPU; default float32, "
         "or bfloat16 when --use-apex is given).",

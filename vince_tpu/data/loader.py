@@ -95,7 +95,14 @@ class PersistentDataLoader:
         use_processes: bool = False,  # fork-pool workers: true parallel JPEG
         # decode (threads are GIL-bound at ~400 frames/s; the reference's
         # PersistentDataLoader is process-based for the same reason)
+        num_shards: int = 1,  # multi-host: iterate only indices
+        shard_id: int = 0,  # [shard_id::num_shards] of each (shared-seed)
+        # epoch permutation — disjoint per-process slices of the dataset
     ):
+        if not (0 <= shard_id < max(num_shards, 1)):
+            raise ValueError(f"shard_id {shard_id} not in [0, {num_shards})")
+        self.num_shards = max(num_shards, 1)
+        self.shard_id = shard_id
         self.use_processes = use_processes
         self._pool = None
         self._pending: List = []
@@ -154,7 +161,12 @@ class PersistentDataLoader:
 
     def _reshuffle(self):
         n = len(self.dataset)
-        self._order = list(self._rng.permutation(n) if self.shuffle else range(n))
+        order = list(self._rng.permutation(n) if self.shuffle else range(n))
+        if self.num_shards > 1:
+            # every process draws the SAME permutation (shared seed), then
+            # keeps a disjoint stride slice — together they tile the epoch
+            order = order[self.shard_id :: self.num_shards]
+        self._order = order
         self._cursor = 0
 
     def _next_indices(self) -> Optional[List[int]]:

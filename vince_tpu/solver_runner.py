@@ -43,9 +43,15 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    from vince_tpu.parallel import multihost
+
+    multihost.initialize(args)  # no-op unless --distributed
 
     train_logger = val_logger = None
-    if not args.debug:
+    if not args.debug and multihost.is_primary():
+        # multi-controller runs: tensorboard (like all host-side
+        # observability) is process 0's job; metrics are pmean'd across the
+        # mesh so every process computes identical values anyway
         train_logger = Logger(os.path.join(args.tensorboard_dir, "train"))
         val_logger = Logger(os.path.join(args.tensorboard_dir, "val"))
 

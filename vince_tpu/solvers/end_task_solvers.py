@@ -22,6 +22,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from vince_tpu.data import get_dataset
 from vince_tpu.data.loader import PersistentDataLoader
 from vince_tpu.data.prefetch import BatchPrefetcher, pull_with_kill
+from vince_tpu.parallel import multihost
 from vince_tpu.parallel.mesh import DATA_AXIS, MeshSpec, make_mesh
 from vince_tpu.solvers.base_solver import BaseSolver
 from vince_tpu.solvers.end_task_step import (
@@ -65,9 +66,17 @@ class EndTaskBaseSolver(BaseSolver):
         if self.args.disable_dataloader:
             return
         items = self.args.batch_size // max(self.args.num_frames, 1)
+        pc = multihost.process_count()
+        if items % pc:
+            raise ValueError(
+                f"{items} items/batch not divisible by {pc} processes — "
+                "raise --batch-size"
+            )
         self.train_loader = PersistentDataLoader(
-            batch_size=items, num_workers=min(self.args.num_workers, 16), never_ending=True,
+            batch_size=items // pc, num_workers=min(self.args.num_workers, 16),
+            never_ending=True,
             use_processes=getattr(self.args, "loader_processes", False),
+            num_shards=pc, shard_id=multihost.process_index(),
         )
         self.train_loader.set_dataset(self._make_dataset("train"))
         # val loaders are one-shot, built per pass (_fresh_val_loader) — a
@@ -150,15 +159,24 @@ class EndTaskBaseSolver(BaseSolver):
             max_to_keep=5,
             long_save_frequency=args.long_save_frequency,
         )
+        repl = NamedSharding(self.mesh, P())
         if args.restore:
-            restored = self.ckpt.restore(state)
+            template = state
+            if multihost.is_multiprocess():
+                # multi-controller restore needs target shardings (replicated)
+                template = jax.tree_util.tree_map(
+                    lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype, sharding=repl),
+                    state,
+                )
+            restored = self.ckpt.restore(template)
             if restored is not None:
                 state = restored
                 self.iteration = int(np.asarray(state.step)) * args.batch_size
                 print(f"Restored end-task step {int(np.asarray(state.step))}")
 
-        repl = NamedSharding(self.mesh, P())
-        self.state = jax.device_put(state, jax.tree_util.tree_map(lambda _: repl, state))
+        self.state = multihost.place(
+            jax.tree_util.tree_map(lambda _: repl, state), state
+        )
         self.train_step = make_end_task_train_step(self.cfg, self.optimizer, self.mesh, train=True)
         self.metric_step = make_end_task_train_step(
             self.cfg, self.optimizer, self.mesh, train=False, per_sample=True
@@ -180,7 +198,7 @@ class EndTaskBaseSolver(BaseSolver):
                 labels.shape, data.shape, self.cfg.num_frames
             )
         batch = {"data": data, "labels": labels.astype(np.int32)}
-        return {k: jax.device_put(v, self._batch_sharding) for k, v in batch.items()}
+        return {k: multihost.stage(self._batch_sharding, v) for k, v in batch.items()}
 
     def loss_keys(self):
         if self.task == "classifier":
@@ -233,13 +251,18 @@ class EndTaskBaseSolver(BaseSolver):
     def _fresh_val_loader(self):
         """A one-shot (non-cycling, unshuffled) loader over a freshly built
         val dataset — the reference's rebuilt val dataloader
-        (``end_task_base_solver.py:402-417``)."""
+        (``end_task_base_solver.py:402-417``). Multi-host: each process reads
+        a disjoint stride slice; ``run_val`` keeps collective batch counts
+        equal with zero-weight filler batches."""
         ds = self._make_dataset("val")
+        pc = multihost.process_count()
         loader = PersistentDataLoader(
-            batch_size=self._items_per_batch(),
+            batch_size=self._items_per_batch() // pc,
             num_workers=min(self.args.num_workers, 8),
             shuffle=False,
             never_ending=False,
+            num_shards=pc,
+            shard_id=multihost.process_index(),
         )
         loader.set_dataset(ds)
         return ds, loader
@@ -270,34 +293,59 @@ class EndTaskBaseSolver(BaseSolver):
         own_loader = loader is None
         if own_loader:
             dataset, loader = self._fresh_val_loader()
-        items = self._items_per_batch()
+        pc = multihost.process_count()
+        items = self._items_per_batch() // pc  # per-process items per batch
         label_keys = ("classifier_labels", "labels", "imagenet_labels")
         sums: Dict[str, float] = {}
         n_samples = 0
         n_batches = 0
+        # multi-host: metric_step is a collective, so every process must run
+        # the same batch count even though shard sizes differ by ±1 — when a
+        # process's slice runs dry it re-runs its last batch with zero weight
+        expected = None
+        if dataset is not None:
+            expected = int(np.ceil(np.ceil(len(dataset) / pc) / items))
+        last_hb = None
         try:
-            for hb in loader:
-                label_key = next((k for k in label_keys if k in hb), None)
-                if label_key is None:
-                    raise ValueError(
-                        f"val batch has none of the label keys {label_keys}: "
-                        f"{sorted(hb)}"
-                    )
-                n_items = len(hb[label_key])
-                hb = self._pad_host_batch(hb, items, n_items)
-                batch = self.convert_batch(hb)
-                per = jax.device_get(self.metric_step(self.state, batch, self._step_rng))
-                for k, v in per.items():
-                    sums[k] = sums.get(k, 0.0) + float(np.asarray(v)[:n_items].sum())
-                n_samples += n_items
-                n_batches += 1
+            it = iter(loader)
+            while True:
                 if max_batches is not None and n_batches >= max_batches:
                     break
+                if expected is not None and n_batches >= expected:
+                    break
+                try:
+                    hb = next(it)
+                    label_key = next((k for k in label_keys if k in hb), None)
+                    if label_key is None:
+                        raise ValueError(
+                            f"val batch has none of the label keys {label_keys}: "
+                            f"{sorted(hb)}"
+                        )
+                    n_items = len(hb[label_key])
+                    hb = self._pad_host_batch(hb, items, n_items)
+                    last_hb = hb
+                except StopIteration:
+                    if pc == 1 or expected is None or last_hb is None:
+                        break
+                    hb, n_items = last_hb, 0  # collective filler, zero weight
+                batch = self.convert_batch(hb)
+                per = self.metric_step(self.state, batch, self._step_rng)
+                for k, v in per.items():
+                    # local_view: this process's rows (= whole batch when pc=1)
+                    sums[k] = sums.get(k, 0.0) + float(
+                        multihost.local_view(v)[:n_items].sum()
+                    )
+                n_samples += n_items
+                n_batches += 1
         finally:
             if own_loader:
                 loader.shutdown()
+        if pc > 1:
+            keys = sorted(sums)
+            totals = multihost.host_allsum([sums[k] for k in keys] + [n_samples])
+            sums = dict(zip(keys, totals[:-1]))
+            n_samples = int(totals[-1])
         if dataset is not None and max_batches is None:
-            expected = int(np.ceil(len(dataset) / items))
             if n_batches != expected:
                 # e.g. a chunk of unreadable files made the loader drop a
                 # whole batch — report, don't abort training mid-epoch (the
@@ -329,7 +377,9 @@ class EndTaskBaseSolver(BaseSolver):
 
     def save(self, num_to_keep: int = 5):
         if self.args.save:
-            self.ckpt.save(self.global_step, jax.device_get(self.state))
+            state = (self.state if multihost.is_multiprocess()
+                     else jax.device_get(self.state))
+            self.ckpt.save(self.global_step, state)
 
     def end(self):
         if getattr(self, "_ended", False):
@@ -417,7 +467,7 @@ class EndTaskTrackingSolver(EndTaskBaseSolver):
             "search": host_batch["search"],
             "labels": host_batch["labels"].astype(np.float32),  # [B, hy, wy]
         }
-        return {k: jax.device_put(v, self._batch_sharding) for k, v in batch.items()}
+        return {k: multihost.stage(self._batch_sharding, v) for k, v in batch.items()}
 
     def run_eval(self):
         from vince_tpu.tracking.experiments import ExperimentOTB

@@ -26,6 +26,7 @@ from vince_tpu.data.loader import PersistentDataLoader
 from vince_tpu.data.npz_dataset import NPZDataset
 from vince_tpu.data.prefetch import BatchPrefetcher, pull_with_kill
 from vince_tpu.ops.queue import HostImageRing
+from vince_tpu.parallel import multihost
 from vince_tpu.parallel.mesh import DATA_AXIS, MeshSpec, make_mesh
 from vince_tpu.solvers.base_solver import BaseSolver
 from vince_tpu.solvers.vince_step import (
@@ -75,26 +76,44 @@ class VinceSolver(BaseSolver):
             return
         nf = max(args.num_frames, 1)
 
+        # multi-host: every process runs this same code; each loads only its
+        # 1/pc of every global batch (disjoint stride slices of a shared-seed
+        # epoch permutation) — the staged global array is their union
+        pc = multihost.process_count()
+        pid = multihost.process_index()
+
         def add_source(spec: SourceSpec, dataset_name: str):
             self.sources.append(spec)
             items_per_batch = spec.batch_size // spec.num_frames
+            if items_per_batch % pc:
+                raise ValueError(
+                    f"{spec.name}: {items_per_batch} videos/batch not divisible "
+                    f"by {pc} processes — raise --batch-size"
+                )
+            local_items = items_per_batch // pc
             train_loader = PersistentDataLoader(
-                batch_size=items_per_batch,
+                batch_size=local_items,
                 num_workers=min(args.num_workers, 16),
                 never_ending=True,
                 use_processes=getattr(args, "loader_processes", False),
+                num_shards=pc,
+                shard_id=pid,
             )
             train_loader.set_dataset(self._make_dataset(dataset_name, "train"))
             val_loader = PersistentDataLoader(
-                batch_size=items_per_batch,
+                batch_size=local_items,
                 num_workers=min(args.num_workers, 8),
                 never_ending=True,
+                num_shards=pc,
+                shard_id=pid,
             )
             val_ds = self._make_dataset(dataset_name, "val")
             val_loader.set_dataset(val_ds)
+            # one epoch pass = ceil(per-process share / per-process batch) —
+            # identical on every process (collective batch counts must agree)
             self._val_epoch_batches = max(
                 getattr(self, "_val_epoch_batches", 0),
-                -(-len(val_ds) // items_per_batch),
+                -(-(len(val_ds) // pc) // local_items),
             )
             self.train_loaders.append((spec.name, train_loader))
             self.val_loaders.append((spec.name, val_loader))
@@ -214,8 +233,21 @@ class VinceSolver(BaseSolver):
             long_save_frequency=args.long_save_frequency,
         )
         if args.restore:
+            template = state
+            if multihost.is_multiprocess():
+                # multi-controller restore: orbax needs the target shardings
+                # so each process reads only its own shards from disk
+                from vince_tpu.solvers.vince_step import state_shardings
+
+                template = jax.tree_util.tree_map(
+                    lambda x, s: jax.ShapeDtypeStruct(
+                        np.shape(x), x.dtype, sharding=s
+                    ),
+                    state,
+                    state_shardings(state, self.mesh),
+                )
             restored = self.ckpt.restore(
-                state,
+                template,
                 saved_variable_prefix=args.saved_variable_prefix,
                 new_variable_prefix=args.new_variable_prefix,
             )
@@ -286,7 +318,9 @@ class VinceSolver(BaseSolver):
             if spec.use_imagenet_ce:
                 d["labels"] = hb["imagenet_labels"].astype(np.int32)
             out.append(
-                {k: jax.device_put(v, self._batch_sharding) for k, v in d.items()}
+                # single-process: device_put; multi-host: every process
+                # contributes its local rows of the global batch
+                {k: multihost.stage(self._batch_sharding, v) for k, v in d.items()}
             )
         return tuple(out)
 
@@ -335,23 +369,28 @@ class VinceSolver(BaseSolver):
         self._prefill_counter += 1
         for i, (spec, src_batch) in enumerate(zip(self.sources, device_batch)):
             emb = self.key_prefill_fns[i](self.state, src_batch["queue_data"], rng)
-            e = np.asarray(jax.device_get(emb))
+            # data-sharded output: multihost.fetch all-gathers across
+            # processes, so every process holds the identical full bank
+            e = multihost.fetch(emb)
             keys.append(e)
             srcs.append(np.full((len(e),), spec.source_id, np.int32))
         return np.concatenate(keys, axis=0), np.concatenate(srcs, axis=0)
 
     def _write_queue(self, bank, sources, tail, total):
+        """Host bank (complete + identical on every process — _embed_batch_keys
+        all-gathers) → the sharded device queue."""
         queue = self.state.queue
+        repl = NamedSharding(self.mesh, P())
         new_queue = queue.replace(
-            vectors=jax.device_put(
-                jnp.asarray(bank, queue.vectors.dtype),
+            vectors=multihost.global_from_full_host(
                 NamedSharding(self.mesh, P("queue")),
+                np.asarray(bank, queue.vectors.dtype),
             ),
-            sources=jax.device_put(
-                jnp.asarray(sources, jnp.int32), NamedSharding(self.mesh, P("queue"))
+            sources=multihost.global_from_full_host(
+                NamedSharding(self.mesh, P("queue")), np.asarray(sources, np.int32)
             ),
-            tail=jnp.asarray(tail, jnp.int32),
-            total=jnp.asarray(total, jnp.int32),
+            tail=multihost.global_from_full_host(repl, np.asarray(tail, np.int32)),
+            total=multihost.global_from_full_host(repl, np.asarray(total, np.int32)),
         )
         self.state = self.state.replace(queue=new_queue)
 
@@ -387,7 +426,8 @@ class VinceSolver(BaseSolver):
         self._write_queue(
             np.concatenate(keys)[:k], np.concatenate(srcs)[:k], tail=0, total=k
         )
-        self.image_ring.fill_repeat(thumbs[:k], names[:k])
+        if not multihost.is_multiprocess():  # ring mirrors panels (see above)
+            self.image_ring.fill_repeat(thumbs[:k], names[:k])
         print("Queue filled")
 
     def fill_queue_repeat(self):
@@ -400,8 +440,9 @@ class VinceSolver(BaseSolver):
         bank = np.tile(keys, (reps, 1))[:k]
         sources = np.tile(srcs, reps)[:k]
         self._write_queue(bank, sources, tail=0, total=0)
-        thumbs, names = self._host_thumbs(host_batches)
-        self.image_ring.fill_repeat(thumbs, names)
+        if not multihost.is_multiprocess():
+            thumbs, names = self._host_thumbs(host_batches)
+            self.image_ring.fill_repeat(thumbs, names)
         print("Queue filled with repeats")
 
     # ----------------------------------------------------------------- train
@@ -469,17 +510,22 @@ class VinceSolver(BaseSolver):
 
         # host-side image ring: exact parallel thumbnails for every enqueued
         # key, same order/tail arithmetic as the device enqueue (reference
-        # storage_queue.py:13-14 stores the images alongside the vectors)
-        thumbs, names = self._host_thumbs(host_batches)
-        for t, nm in zip(thumbs, names):
-            self.image_ring.enqueue([t], nm)
+        # storage_queue.py:13-14 stores the images alongside the vectors).
+        # Multi-controller runs skip image observability entirely: each host
+        # sees only its slice of the batch and panel_fn is a collective no
+        # single process may call alone — scalars (pmean'd, identical
+        # everywhere) remain the pod-run observability surface.
+        if not multihost.is_multiprocess():
+            thumbs, names = self._host_thumbs(host_batches)
+            for t, nm in zip(thumbs, names):
+                self.image_ring.enqueue([t], nm)
 
-        if (
-            self.train_logger is not None
-            and self.logger_iteration > 0
-            and self.logger_iteration % self.args.image_log_frequency == 0
-        ):
-            self.log_images(host_batches)
+            if (
+                self.train_logger is not None
+                and self.logger_iteration > 0
+                and self.logger_iteration % self.args.image_log_frequency == 0
+            ):
+                self.log_images(host_batches)
 
         self.iteration += self.args.batch_size
         self.logger_iteration += 1
@@ -566,6 +612,10 @@ class VinceSolver(BaseSolver):
         cap = getattr(self, "_val_epoch_batches", None) or 1
         if max_batches is not None:
             cap = min(cap, max_batches)
+        if multihost.is_multiprocess():
+            # eval_step is a collective — every process must run the same
+            # batch count, so a per-process wall-clock cap cannot apply
+            max_seconds = float("inf")
         while time.time() - t_start < max_seconds and n < cap:
             host_batches = [loader.get_batch() for _, loader in self.val_loaders]
             device_batch = self._device_batch(host_batches)
@@ -597,6 +647,14 @@ class VinceSolver(BaseSolver):
         reference vince_solver.py:676-684."""
         if self.cifar_dataset is None:
             return None
+        if multihost.is_multiprocess():
+            # embed_fn's input here is a host-global batch each process would
+            # have to hold in full; the probe is a single-host QA tool —
+            # run it from a checkpoint instead (tools/extract_embeddings.py)
+            if not getattr(self, "_knn_notice_done", False):
+                self._knn_notice_done = True
+                print("kNN probe skipped under --distributed")
+            return None
         from sklearn.neighbors import KDTree
         import scipy.stats
 
@@ -617,7 +675,13 @@ class VinceSolver(BaseSolver):
     def save(self, num_to_keep: int = 5):
         if not self.args.save:
             return
-        self.ckpt.save(self.global_step, jax.device_get(self.state))
+        if multihost.is_multiprocess():
+            # every process calls save; orbax coordinates, each process
+            # writes its own shards (device_get of a cross-process sharded
+            # array is impossible — and unnecessary)
+            self.ckpt.save(self.global_step, self.state)
+        else:
+            self.ckpt.save(self.global_step, jax.device_get(self.state))
 
     def end(self):
         if getattr(self, "_ended", False):

@@ -194,7 +194,12 @@ def state_shardings(state: VinceState, mesh) -> VinceState:
 
 
 def shard_state(state: VinceState, mesh) -> VinceState:
-    return jax.device_put(state, state_shardings(state, mesh))
+    """Place a host-initialized (or restored) state onto the mesh. Works in
+    multi-controller runs too: host leaves are identical across processes
+    (same-seed deterministic init), restored global arrays pass through."""
+    from vince_tpu.parallel import multihost
+
+    return multihost.place(state_shardings(state, mesh), state)
 
 
 def _state_pspecs(state: VinceState) -> VinceState:
