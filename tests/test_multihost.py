@@ -86,6 +86,66 @@ def test_multihost_helpers_degrade_single_process(cpu_devices):
 
 
 # ------------------------------------------------------- 2-process cluster
+def _run_step_worker(pid, nproc, port, n_local_devices, env_base):
+    env = dict(env_base)
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n_local_devices}"
+    env["JAX_PLATFORMS"] = "cpu"
+    return subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "tests", "helpers",
+                                      "multihost_step_worker.py"),
+         str(pid), str(nproc), str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=REPO, env=env,
+    )
+
+
+def _parse_result(out):
+    import json
+
+    for line in out.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise AssertionError(f"no RESULT line in:\n{out[-4000:]}")
+
+
+@pytest.mark.slow
+def test_two_process_step_matches_single_process(tmp_path):
+    """Numerical parity of the jitted train step across process topologies:
+    the SAME fixed global batch through 3 steps on a 2x2 mesh — once as one
+    process with 4 devices, once as a 2-process gloo cluster with 2 devices
+    each (cross-process all_gather/ppermute/psum/pmax) — must agree."""
+    port = 23000 + os.getpid() % 20000
+    env = dict(os.environ)
+
+    single = _run_step_worker(0, 1, port, 4, env)
+    out_s, _ = single.communicate(timeout=900)
+    assert single.returncode == 0, out_s[-4000:]
+    ref = _parse_result(out_s)
+
+    procs = [_run_step_worker(pid, 2, port, 2, env) for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid}:\n{out[-4000:]}"
+    got = [_parse_result(o) for o in outs]
+    # both processes computed identical (pmean'd) results
+    assert got[0] == got[1]
+    assert got[0]["tail"] == ref["tail"] and got[0]["total"] == ref["total"]
+    for k, v in ref["metrics"].items():
+        assert abs(got[0]["metrics"][k] - v) <= 2e-3 + 2e-3 * abs(v), (
+            k, got[0]["metrics"][k], v,
+        )
+    assert abs(got[0]["q_absmean"] - ref["q_absmean"]) <= 1e-4
+
+
+
 def _worker_cmd(port, pid, tmp, extra=()):
     return [
         sys.executable, os.path.join(REPO, "solver_runner.py"),
@@ -101,6 +161,56 @@ def _worker_cmd(port, pid, tmp, extra=()):
         "--distributed", "--coordinator-address", f"localhost:{port}",
         "--num-processes", "2", "--process-id", str(pid),
     ] + list(extra)
+
+
+@pytest.mark.slow
+def test_two_process_endtask_val_parity_with_filler(tmp_path):
+    """Full-epoch end-task val over a 49-item set: 2-process shards are 25/24
+    so one process runs a zero-weight filler batch to keep the collective
+    count equal; per-sample metrics (eval-mode BN) must sum to the exact
+    single-process result and cover all 49 samples exactly once."""
+    port = 24000 + os.getpid() % 20000
+    env = dict(os.environ)
+
+    def run_worker(pid, nproc, n_dev):
+        e = dict(env)
+        e["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n_dev}"
+        e["JAX_PLATFORMS"] = "cpu"
+        return subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tests", "helpers",
+                                          "multihost_endtask_worker.py"),
+             str(pid), str(nproc), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=REPO, env=e,
+        )
+
+    single = run_worker(0, 1, 2)
+    out_s, _ = single.communicate(timeout=900)
+    assert single.returncode == 0, out_s[-4000:]
+    ref = _parse_result(out_s)
+    assert ref["samples"] == 49
+    assert ref["batches"] == 3  # ceil(49/24): two full + one padded partial
+
+    procs = [run_worker(pid, 2, 1) for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid}:\n{out[-4000:]}"
+    got = [_parse_result(o) for o in outs]
+    assert got[0] == got[1]  # allsum makes results identical on all processes
+    assert got[0]["samples"] == 49  # every sample counted exactly once
+    assert got[0]["batches"] == 3  # 25-item shard: 2 real + 1 partial; 24: +filler
+    for k, v in ref["results"].items():
+        assert abs(got[0]["results"][k] - v) <= 5e-5 + 1e-5 * abs(v), (
+            k, got[0]["results"][k], v,
+        )
 
 
 @pytest.mark.slow

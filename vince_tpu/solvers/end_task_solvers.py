@@ -473,11 +473,20 @@ class EndTaskTrackingSolver(EndTaskBaseSolver):
         from vince_tpu.tracking.experiments import ExperimentOTB
         from vince_tpu.tracking.tracker import TrackerSiamFC
 
+        # the tracker is a host-driven per-frame loop on plain local jit —
+        # a single-controller tool: process 0 runs it on a localized copy of
+        # the (replicated) state, everyone else waits at the barrier
+        state = self.state
+        if multihost.is_multiprocess():
+            if not multihost.is_primary():
+                multihost.sync("otb_eval")
+                return {}
+            state = jax.device_get(self.state)
         tracker = TrackerSiamFC(
             name=f"SiamFC_{self.model_name}_{self.args.description}",
             cfg=None,  # defaults (TRACKER_CFG)
             encoder_cfg=self.cfg,
-            state=self.state,
+            state=state,
         )
         root = os.path.join(self.args.data_path, "otb100") if self.args.data_path else None
         experiment = ExperimentOTB(root)
@@ -488,4 +497,6 @@ class EndTaskTrackingSolver(EndTaskBaseSolver):
                 {f"epoch/{self.full_name}/otb_{k}": v for k, v in results.items()},
                 self.iteration,
             )
+        if multihost.is_multiprocess():
+            multihost.sync("otb_eval")
         return results
