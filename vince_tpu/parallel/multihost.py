@@ -181,7 +181,14 @@ def local_view(x) -> np.ndarray:
     shards = sorted(
         x.addressable_shards, key=lambda s: (s.index[0].start or 0)
     )
-    return np.concatenate([np.asarray(s.data) for s in shards])
+    parts, seen = [], set()
+    for s in shards:  # skip replicas (a sharding replicated over some axis)
+        key = s.index[0].start or 0
+        if key in seen:
+            continue
+        seen.add(key)
+        parts.append(np.asarray(s.data))
+    return np.concatenate(parts)
 
 
 def host_allsum(values):

@@ -468,6 +468,8 @@ class VinceSolver(BaseSolver):
         # logger_iteration resets every epoch, which would re-enter
         # start_trace next epoch if an epoch had <9 iterations.
         profile_dir = getattr(self.args, "profile_dir", "")
+        if profile_dir and multihost.is_multiprocess() and not multihost.is_primary():
+            profile_dir = ""  # one trace writer; concurrent writers collide
         if profile_dir and not getattr(self, "_trace_done", False):
             gstep = int(np.asarray(self.state.step))
             if gstep == 5 and not getattr(self, "_trace_active", False):
