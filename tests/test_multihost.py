@@ -276,3 +276,28 @@ def test_two_process_training_and_elastic_restore(tmp_path):
     assert res.returncode == 0, res.stdout[-4000:] + res.stderr[-2000:]
     assert "Restored step 3; resuming epoch 1" in res.stdout
     assert "val:" in res.stdout
+
+    # and back: the 2-process cluster restores the single-process checkpoint
+    # (orbax sharded restore from a host-numpy save) and trains epoch 2
+    procs = [
+        subprocess.Popen(
+            _worker_cmd(port + 1, pid, tmp, extra=["--epochs", "3"]),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=REPO, env=env,
+        )
+        for pid in range(2)
+    ]
+    outs2 = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs2.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs2)):
+        assert p.returncode == 0, f"restore worker {pid} failed:\n{out[-4000:]}"
+        assert "Restored step 6; resuming epoch 2" in out, out[-3000:]
+        # a restored bank skips the prefill
+        assert "Queue filled with repeats" not in out
