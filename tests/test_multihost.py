@@ -48,6 +48,53 @@ def test_loader_shards_are_disjoint_and_cover():
     assert sizes == [4, 4, 5]
 
 
+def test_sharded_never_ending_loader_stays_disjoint_across_epochs():
+    """Never-ending sharded loaders over an ODD-length dataset: shards are
+    padded to equal size (same reshuffle cadence on every process) and every
+    epoch's permutation is a pure function of (seed, epoch) — consumption and
+    failed-read resampling cannot desync processes onto different epochs."""
+    from vince_tpu.data.loader import PersistentDataLoader
+
+    class Toy:
+        def __len__(self):
+            return 13
+
+        def __getitem__(self, i):
+            return i
+
+    n, ns, seed = 13, 2, 7
+    loaders = []
+    for sid in range(ns):
+        ld = PersistentDataLoader(
+            batch_size=2, num_workers=1, shuffle=True, never_ending=True,
+            num_shards=ns, shard_id=sid, seed=seed,
+        )
+        ld.dataset = Toy()
+        ld._reshuffle()
+        loaders.append(ld)
+
+    # equal shard sizes: ceil(13/2) = 7 each
+    assert len(loaders[0]._order) == len(loaders[1]._order) == 7
+
+    drawn = [[], []]
+    for _ in range(21):  # 3 full (padded) epochs of 7 items at batch 2... 42 items
+        for sid, ld in enumerate(loaders):
+            drawn[sid].extend(ld._next_indices())
+    # both loaders advanced epochs in lockstep
+    assert loaders[0]._epoch == loaders[1]._epoch > 0
+
+    # reconstruct each epoch window and check the two shards tile the SAME
+    # (seed, epoch)-derived permutation — disjoint except the wrap pad
+    for e in range(loaders[0]._epoch):
+        rng = np.random.RandomState((seed * 1_000_003 + e) % (2**31))
+        perm = list(rng.permutation(n))
+        padded = perm + perm[:1]
+        w0 = drawn[0][e * 7 : (e + 1) * 7]
+        w1 = drawn[1][e * 7 : (e + 1) * 7]
+        assert w0 == padded[0::2] and w1 == padded[1::2], e
+        assert set(w0 + w1) == set(range(n)), e  # full coverage every epoch
+
+
 def test_multihost_helpers_degrade_single_process(cpu_devices):
     import jax
     import jax.numpy as jnp
@@ -67,7 +114,6 @@ def test_multihost_helpers_degrade_single_process(cpu_devices):
     g = multihost.global_from_full_host(NamedSharding(mesh, P("queue")), x)
     np.testing.assert_array_equal(np.asarray(g), x)
 
-    assert multihost.local_rows(8) == 8
     np.testing.assert_array_equal(multihost.fetch(staged), x)
     np.testing.assert_array_equal(multihost.local_view(staged), x)
     np.testing.assert_array_equal(

@@ -161,16 +161,31 @@ class PersistentDataLoader:
 
     def _reshuffle(self):
         n = len(self.dataset)
-        order = list(self._rng.permutation(n) if self.shuffle else range(n))
+        # epoch permutations are a pure function of (seed, epoch) — NOT a
+        # shared RNG stream — so sharded processes stay on identical
+        # permutations no matter how reads/resampling consume randomness
+        rng = np.random.RandomState((self.seed * 1_000_003 + self._epoch) % (2**31))
+        order = list(rng.permutation(n) if self.shuffle else range(n))
         if self.num_shards > 1:
-            # every process draws the SAME permutation (shared seed), then
-            # keeps a disjoint stride slice — together they tile the epoch
+            if self.never_ending and n % self.num_shards:
+                # equalize shard sizes (wrap the permutation, à la
+                # DistributedSampler): unequal shards would reshuffle on
+                # different cadences and the processes' stride slices would
+                # drift onto different epochs — silently overlapping
+                order = order + order[: self.num_shards - (n % self.num_shards)]
+            # disjoint stride slices tile the (padded) epoch
             order = order[self.shard_id :: self.num_shards]
         self._order = order
         self._cursor = 0
 
     def _next_indices(self) -> Optional[List[int]]:
         with self._epoch_lock:
+            if not self._order:
+                raise RuntimeError(
+                    f"loader shard {self.shard_id}/{self.num_shards} has no "
+                    f"items (dataset len {len(self.dataset)}) — fewer items "
+                    "than shards/processes?"
+                )
             idx: List[int] = []
             while len(idx) < self.batch_size:
                 if self._cursor >= len(self._order):

@@ -50,13 +50,19 @@ def initialize(args) -> None:
         jax.config.update("jax_cpu_collectives_implementation", "gloo")
     kwargs = {}
     coord = getattr(args, "coordinator_address", "") or None
-    if coord:
+    nproc = getattr(args, "num_processes", 0) or 0
+    pid = getattr(args, "process_id", -1)
+    if coord or nproc or pid >= 0:
+        # manual cluster: partial flags silently auto-detect (or come up as
+        # a 1-process "cluster" training on a slice of every batch) — demand
+        # all three explicitly
+        if not (coord and nproc and pid >= 0):
+            raise ValueError(
+                "manual clusters need all three of --coordinator-address, "
+                f"--num-processes, --process-id (got {coord!r}, {nproc}, {pid})"
+            )
         kwargs = dict(
-            coordinator_address=coord,
-            num_processes=getattr(args, "num_processes", None) or None,
-            process_id=(
-                args.process_id if getattr(args, "process_id", -1) >= 0 else None
-            ),
+            coordinator_address=coord, num_processes=nproc, process_id=pid
         )
     jax.distributed.initialize(**kwargs)
     _initialized = True
@@ -81,18 +87,6 @@ def is_primary() -> bool:
 
 def is_multiprocess() -> bool:
     return jax.process_count() > 1
-
-
-def local_rows(global_rows: int) -> int:
-    """Rows of a globally-batch-dim-sharded array this process produces."""
-    pc = jax.process_count()
-    if global_rows % pc:
-        raise ValueError(
-            f"global batch dim {global_rows} not divisible by "
-            f"{pc} processes — pick a batch size divisible by "
-            f"(processes × data-axis size)"
-        )
-    return global_rows // pc
 
 
 def stage(sharding, value):
@@ -193,13 +187,20 @@ def local_view(x) -> np.ndarray:
 
 def host_allsum(values):
     """Sum a flat list/array of host floats across processes (identity
-    single-process). Used to combine per-process partial metric sums."""
+    single-process). Used to combine per-process partial metric sums.
+
+    Precision note: the gather rides a jitted collective, which canonicalizes
+    to float32 with x64 off — each PARTIAL crosses the wire as float32 (one
+    rounding, ~1e-7 relative), but the final sum over processes happens in
+    float64 on the host. Exact for sample counts below 2**24 per process.
+    """
     arr = np.asarray(values, np.float64)
     if jax.process_count() == 1:
         return arr
     from jax.experimental import multihost_utils
 
-    return np.asarray(multihost_utils.process_allgather(arr)).sum(axis=0)
+    gathered = np.asarray(multihost_utils.process_allgather(arr))
+    return gathered.astype(np.float64).sum(axis=0)
 
 
 def sync(name: str = "sync") -> None:

@@ -57,6 +57,7 @@ def main(argv=None):
 
     solver = get_solver_class(args.solver or "VinceSolver")(args, train_logger, val_logger)
 
+    failed = True  # KeyboardInterrupt/SystemExit skip the except/else below
     try:
         if args.test_first:
             print("Running initial Val")
@@ -77,10 +78,17 @@ def main(argv=None):
     else:
         failed = False
     finally:
-        # crash-save parity (solver_runner.py:49-54) — save BEFORE shutdown
-        if args.save:
+        # crash-save parity (solver_runner.py:49-54) — save BEFORE shutdown.
+        # Under --distributed a crash-save is a collective the surviving
+        # peers (stuck inside the step's collectives) can never join — skip
+        # it and exit; the jax.distributed heartbeat tears the peers down
+        # and recovery restarts from the last periodic checkpoint.
+        if args.save and not (failed and multihost.is_multiprocess()):
             print("Saving models")
             solver.save()
+        elif failed and multihost.is_multiprocess():
+            print("crash under --distributed: skipping the (collective) "
+                  "crash-save; resume from the last periodic checkpoint")
         solver.end()
         # flush buffered tensorboard events (short runs never hit the
         # writer's auto-flush threshold and would leave empty event files)

@@ -118,6 +118,11 @@ class EndTaskBaseSolver(BaseSolver):
         dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
         n_dev = len(jax.devices())
         md = max(1, min(getattr(args, "mesh_data_size", 0) or n_dev, n_dev))
+        if multihost.is_multiprocess() and md % multihost.process_count():
+            raise ValueError(
+                f"--mesh-data-size {md} must be divisible by the "
+                f"{multihost.process_count()} processes"
+            )
         return EndTaskConfig(
             task=self.task,
             backbone=args.backbone,
@@ -305,6 +310,19 @@ class EndTaskBaseSolver(BaseSolver):
         expected = None
         if dataset is not None:
             expected = int(np.ceil(np.ceil(len(dataset) / pc) / items))
+        if pc > 1:
+            # collective-count preconditions: without them a short/absent
+            # shard breaks out of the loop while peers wait forever
+            if dataset is None:
+                raise ValueError(
+                    "multi-process run_val needs `dataset` to derive the "
+                    "collective batch count"
+                )
+            if len(dataset) < pc:
+                raise ValueError(
+                    f"val set ({len(dataset)} items) smaller than "
+                    f"{pc} processes"
+                )
         last_hb = None
         try:
             it = iter(loader)
@@ -346,14 +364,16 @@ class EndTaskBaseSolver(BaseSolver):
             sums = dict(zip(keys, totals[:-1]))
             n_samples = int(totals[-1])
         if dataset is not None and max_batches is None:
-            if n_batches != expected:
-                # e.g. a chunk of unreadable files made the loader drop a
-                # whole batch — report, don't abort training mid-epoch (the
-                # exact-count contract is pinned by tests, not production)
+            # sample-based (filler batches make the batch count always equal
+            # under pc>1, so count every item instead): e.g. a chunk of
+            # unreadable files made the loader drop items — report, don't
+            # abort training mid-epoch (the exact-count contract is pinned
+            # by tests, not production)
+            if n_samples != len(dataset) or n_batches != expected:
                 print(
-                    f"WARNING: val pass covered {n_batches} batches, expected "
-                    f"{expected} (len={len(dataset)}, items/batch={items}) — "
-                    "some val items were unreadable?"
+                    f"WARNING: val pass covered {n_samples} samples in "
+                    f"{n_batches} batches, expected {len(dataset)} in "
+                    f"{expected} — some val items were unreadable?"
                 )
         self.last_val_batches = n_batches
         self.last_val_samples = n_samples

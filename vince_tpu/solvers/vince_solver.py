@@ -158,6 +158,21 @@ class VinceSolver(BaseSolver):
         # for an 8-way mesh on a 1-chip host)
         md = getattr(args, "mesh_data_size", 0) or (n_dev // mq)
         md = max(1, min(md, n_dev // mq))
+        if multihost.is_multiprocess():
+            # staging maps each process's host rows onto its own devices:
+            # process boundaries must align with whole data-axis rows
+            pc = multihost.process_count()
+            if md % pc:
+                raise ValueError(
+                    f"--mesh-data-size {md} must be divisible by the {pc} "
+                    "processes (each host feeds whole data-axis rows)"
+                )
+            if jax.local_device_count() % mq:
+                raise ValueError(
+                    f"local device count {jax.local_device_count()} not "
+                    f"divisible by --mesh-queue-size {mq} (a queue-sharded "
+                    "data row must not straddle hosts)"
+                )
         self.mesh = make_mesh(MeshSpec(data_axis_size=md, queue_axis_size=mq))
         dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
         self.cfg = VinceConfig(
@@ -419,9 +434,10 @@ class VinceSolver(BaseSolver):
             e, s = self._embed_batch_keys(device_batch)
             keys.append(e)
             srcs.append(s)
-            t, nm = self._host_thumbs(host_batches)
-            thumbs.extend(t)
-            names.extend(nm)
+            if not multihost.is_multiprocess():  # ring unused multi-process
+                t, nm = self._host_thumbs(host_batches)
+                thumbs.extend(t)
+                names.extend(nm)
             n += len(e)
         self._write_queue(
             np.concatenate(keys)[:k], np.concatenate(srcs)[:k], tail=0, total=k
