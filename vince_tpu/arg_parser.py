@@ -172,6 +172,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     parser.add_argument("--no-shuffle-bn", dest="shuffle_bn", action="store_false")
     parser.add_argument(
+        "--shuffle-mode", type=str, default="gather", choices=["gather", "a2a"],
+        help="Shuffled-BN key scatter: 'gather' all_gathers the global key "
+        "images (d*b rows in per chip); 'a2a' uses a balanced all_to_all "
+        "(1/d the traffic; needs per-device batch divisible by the data "
+        "axis size).",
+    )
+    parser.add_argument(
         "--loader-processes", action="store_true",
         help="Fork-pool loader workers (true parallel JPEG decode on multi-core "
         "hosts; threads are GIL-bound).",

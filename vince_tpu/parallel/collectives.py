@@ -55,8 +55,10 @@ def make_balanced_shuffle_perm(rng: jax.Array, global_batch: int, num_devices: i
     rows per chip — 1/d of the gather's traffic. The restriction to
     block-balanced permutations is immaterial for shuffled-BN's purpose
     (decorrelating each device's BN statistics from its own query batch,
-    reference ``vince_model.py:137-142``): destination rows are still a
-    uniformly random balanced draw from the global batch.
+    reference ``vince_model.py:137-142``): each destination keeps exactly
+    b/d of its own rows every step — the full uniform shuffle's
+    *expected* self-retention, here fixed by construction — and the
+    remaining rows are a random balanced draw from the other devices.
 
     Returns ``(perm, sigma, tau)``:
       - ``perm``  [B]     the composite global permutation — device i's
@@ -76,10 +78,11 @@ def make_balanced_shuffle_perm(rng: jax.Array, global_batch: int, num_devices: i
     )
     c = b // num_devices
     keys = jax.random.split(rng, 2 * num_devices)
-    sigma = jnp.stack([jax.random.permutation(keys[j], b) for j in range(num_devices)])
-    tau = jnp.stack(
-        [jax.random.permutation(keys[num_devices + i], b) for i in range(num_devices)]
-    )
+    # vmap over the split keys: one permutation op in the trace regardless of
+    # device count (a Python loop would unroll O(d) ops at pod scale)
+    perm_b = jax.vmap(lambda k: jax.random.permutation(k, b))
+    sigma = perm_b(keys[:num_devices])
+    tau = perm_b(keys[num_devices:])
     # Composite: on dest i, received row m (pre-tau) came from source j = m//c,
     # within-chunk slot r = m%c, i.e. global row j*b + sigma[j, i*c + r].
     i_idx = jnp.arange(num_devices)[:, None]  # dest block

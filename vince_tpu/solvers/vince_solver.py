@@ -189,6 +189,7 @@ class VinceSolver(BaseSolver):
             use_attention=args.use_attention,
             jigsaw=args.jigsaw,
             shuffle_bn=getattr(args, "shuffle_bn", True),
+            shuffle_mode=getattr(args, "shuffle_mode", "gather"),
             compute_dtype=dtype,
             data_axis_size=md,
             queue_axis_size=mq,

@@ -45,8 +45,10 @@ from vince_tpu.ops.queue import QueueState, enqueue_sharded, init_queue
 from vince_tpu.ops.sharded_infonce import sharded_multi_pair_infonce
 from vince_tpu.parallel.collectives import (
     cross_device_shuffle,
+    cross_device_shuffle_a2a,
     cross_device_unshuffle,
     gather_global_batch,
+    make_balanced_shuffle_perm,
     make_shuffle_perm,
 )
 from vince_tpu.parallel.mesh import DATA_AXIS, QUEUE_AXIS
@@ -84,6 +86,12 @@ class VinceConfig:
     use_attention: bool = False
     jigsaw: bool = False
     shuffle_bn: bool = True
+    # --shuffle-mode: how the shuffled-BN key permutation moves rows across
+    # the data axis. "gather" = all_gather the global key images + local
+    # slice (d·b rows received per chip); "a2a" = balanced all_to_all
+    # ((d-1)/d·b rows — 1/d the interconnect traffic; requires the
+    # per-device batch divisible by the data axis size).
+    shuffle_mode: str = "gather"
     compute_dtype: Any = jnp.float32  # bfloat16 on real TPU
     data_axis_size: int = 1
     queue_axis_size: int = 1
@@ -264,6 +272,32 @@ def _split_sources(cfg: VinceConfig, x):
     return [x[a:b] for a, b in _source_offsets(cfg)]
 
 
+def _check_shuffle_mode(cfg: VinceConfig):
+    if cfg.shuffle_mode not in ("gather", "a2a"):
+        raise ValueError(f"unknown shuffle_mode {cfg.shuffle_mode!r}")
+    if cfg.shuffle_bn and cfg.shuffle_mode == "a2a":
+        b_local = cfg.total_batch // cfg.data_axis_size
+        if b_local % cfg.data_axis_size:
+            raise ValueError(
+                f"--shuffle-mode a2a needs the per-device batch ({b_local}) "
+                f"divisible by the data axis size ({cfg.data_axis_size}); "
+                "use --shuffle-mode gather"
+            )
+
+
+def _shuffle_keys(cfg: VinceConfig, rng, k_all, d_size: int):
+    """Shuffled-BN scatter of the key images across the data axis. Returns
+    (k_in, perm): the shuffled local rows and the composite global
+    permutation (device i's rows are x_global[perm][i*b:(i+1)*b]; feed perm
+    to cross_device_unshuffle unchanged in either mode)."""
+    b_total = k_all.shape[0] * d_size
+    if cfg.shuffle_mode == "a2a":
+        perm, sigma, tau = make_balanced_shuffle_perm(rng, b_total, d_size)
+        return cross_device_shuffle_a2a(k_all, sigma, tau), perm
+    perm = make_shuffle_perm(rng, b_total)
+    return cross_device_shuffle(k_all, perm), perm
+
+
 def make_train_step_fn(
     cfg: VinceConfig,
     optimizer: optax.GradientTransformation,
@@ -274,6 +308,7 @@ def make_train_step_fn(
     (state', metrics). ``batch`` is a tuple of per-source dicts with uint8
     ``data`` / ``queue_data`` [B_s, H, W, 3] (+ ``labels`` for CE sources),
     sharded on the data axis."""
+    _check_shuffle_mode(cfg)
     model = build_encoder(cfg)
     d_size = cfg.data_axis_size
     mq = cfg.queue_axis_size
@@ -304,8 +339,10 @@ def make_train_step_fn(
 
         # ---- 2. key (momentum) forward, no grad, cross-device shuffled BN ---
         # (reference vince_model.py:597-613 + :137-142 shuffle; SURVEY §5.8)
-        perm = make_shuffle_perm(jax.random.fold_in(step_rng, 1), b_local_total * d_size)
-        k_in = cross_device_shuffle(k_all, perm) if cfg.shuffle_bn else k_all
+        if cfg.shuffle_bn:
+            k_in, perm = _shuffle_keys(cfg, jax.random.fold_in(step_rng, 1), k_all, d_size)
+        else:
+            k_in, perm = k_all, None
         k_out, key_batch_stats = encoder_apply(
             state.key_params,
             state.key_batch_stats,
@@ -479,6 +516,7 @@ def make_eval_step(cfg: VinceConfig, mesh):
     — parity with reference run_val, which never switches the model to eval,
     vince_solver.py:520-627) but no gradients, no state mutation. Returns the
     metrics dict only."""
+    _check_shuffle_mode(cfg)
     model = build_encoder(cfg)
     d_size = cfg.data_axis_size
     mq = cfg.queue_axis_size
@@ -493,8 +531,10 @@ def make_eval_step(cfg: VinceConfig, mesh):
         )
         b_local_total = q_all.shape[0]
 
-        perm = make_shuffle_perm(jax.random.fold_in(step_rng, 1), b_local_total * d_size)
-        k_in = cross_device_shuffle(k_all, perm) if cfg.shuffle_bn else k_all
+        if cfg.shuffle_bn:
+            k_in, perm = _shuffle_keys(cfg, jax.random.fold_in(step_rng, 1), k_all, d_size)
+        else:
+            k_in, perm = k_all, None
         key_vars = {"params": state.key_params, "batch_stats": state.key_batch_stats}
         k_out, _ = model.apply(key_vars, k_in, train=True, mutable=["batch_stats"])
         k_emb_local = k_out["embeddings"].astype(jnp.float32)
