@@ -1,0 +1,90 @@
+"""Compiled-HLO collective-structure audit (VERDICT r2 #1): the shard_map'd
+train step must lower to exactly the collectives the algorithm needs — key
+movement + unshuffle gather over ``data``, streaming-softmax/grad reductions —
+and must NEVER move the queue bank through a gather-class collective. Runs the
+real SPMD partitioner at small shapes; ``tools/audit_collectives.py`` runs the
+same audit at the full production geometry (R50 b=128/chip @224² q=65536)."""
+
+import importlib.util
+import os
+
+import pytest
+
+_spec = importlib.util.spec_from_file_location(
+    "audit_collectives",
+    os.path.join(os.path.dirname(__file__), "..", "tools", "audit_collectives.py"),
+)
+audit_mod = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(audit_mod)
+
+
+def _counts(colls):
+    import collections
+
+    c = collections.Counter()
+    for x in colls:
+        c[(x["op"], x["axis"])] += 1
+    return c
+
+
+def _queue_gathers(cfg, colls):
+    qdims = {cfg.queue_shard_size, cfg.queue_size}
+    return [
+        c for c in colls
+        if c["op"] in ("all-gather", "all-to-all")
+        and any(
+            int(d) in qdims
+            for m in audit_mod._SHAPE_RE.finditer(c["shape"])
+            for d in m.group(2).split(",") if d
+        )
+    ]
+
+
+@pytest.mark.parametrize("md,mq", [(8, 1), (4, 2), (2, 4)])
+def test_collective_structure_gather_mode(cpu_devices, md, mq):
+    cfg, colls, hlo, _, _ = audit_mod.audit(
+        md, mq, batch_per_chip=8, image=64, queue_size=1024,
+        backbone="ResNet18", shuffle_mode="gather",
+    )
+    counts = _counts(colls)
+    # the queue bank must never move through a gather-class collective
+    assert not _queue_gathers(cfg, colls), _queue_gathers(cfg, colls)
+    # no all-to-alls in gather mode, no reshard permutes/scatters at all
+    assert not any(op == "all-to-all" for op, _ in counts), counts
+    assert not any(op in ("collective-permute", "reduce-scatter") for op, _ in counts), counts
+    # exactly two data-axis all-gathers: shuffled-BN key images + embedding
+    # unshuffle (the MoCo concat_all_gather) — nothing else gathered
+    assert counts[("all-gather", "data")] == 2, counts
+    assert sum(n for (op, _), n in counts.items() if op == "all-gather") == 2, counts
+    # reductions exist over data (grads/stats/metrics) and, when the queue
+    # axis is real, over queue (streaming softmax + grad psum); the combiner
+    # may merge them arbitrarily but must not create any other group shape
+    assert counts[("all-reduce", "data")] >= 1, counts
+    if mq > 1:
+        assert counts[("all-reduce", "queue")] >= 1, counts
+    for (op, axis), _ in counts.items():
+        assert axis in ("data", "queue"), (op, axis)
+
+
+def test_collective_structure_a2a_mode(cpu_devices):
+    cfg, colls, hlo, _, _ = audit_mod.audit(
+        4, 2, batch_per_chip=8, image=64, queue_size=1024,
+        backbone="ResNet18", shuffle_mode="a2a",
+    )
+    counts = _counts(colls)
+    assert not _queue_gathers(cfg, colls)
+    # key images move via ONE all-to-all; the only gather left is the
+    # embedding unshuffle
+    assert counts[("all-to-all", "data")] == 1, counts
+    assert counts[("all-gather", "data")] == 1, counts
+    # traffic win: the a2a's bytes are ~1/d of the gather-mode image gather
+    a2a_bytes = sum(c["bytes"] for c in colls if c["op"] == "all-to-all")
+    _, colls_g, _, _, _ = audit_mod.audit(
+        4, 2, batch_per_chip=8, image=64, queue_size=1024,
+        backbone="ResNet18", shuffle_mode="gather",
+    )
+    gather_img_bytes = max(
+        c["bytes"] for c in colls_g
+        if c["op"] == "all-gather" and c["axis"] == "data"
+    )
+    assert a2a_bytes <= gather_img_bytes / 2, (a2a_bytes, gather_img_bytes)

@@ -81,6 +81,47 @@ def test_queue_state_global_consistency_across_mesh(cpu_devices):
     np.testing.assert_allclose(norm_sets[1], 1.0, atol=1e-3)
 
 
+@pytest.mark.parametrize("md,mq", [(1, 1), (2, 4), (8, 1)])
+def test_train_step_exact_parity_across_mesh_shapes(cpu_devices, md, mq):
+    """THE mesh-shape-invariance contract: with cross-sample-stat-free norm
+    (groupnorm) and global-row-keyed augmentation RNG, N identical train
+    steps produce the same params, queue contents, and metrics on ANY
+    (data × queue) mesh — compared here against the 4×2 trajectory. Float
+    tolerance only (collective reduction order differs)."""
+    opt = optax.chain(optax.add_decayed_weights(1e-4), optax.sgd(0.05, momentum=0.9))
+    rng = np.random.RandomState(7)
+    datas = [rng.randint(0, 256, (16, 36, 36, 3), np.uint8) for _ in range(3)]
+    keys_d = [rng.randint(0, 256, (16, 36, 36, 3), np.uint8) for _ in range(3)]
+
+    def run(md_, mq_):
+        cfg = VinceConfig(
+            sources=(SourceSpec("YT", batch_size=16, num_frames=2, source_id=1),),
+            backbone="ResNet18", embed_size=16, image_size=32, queue_size=64,
+            data_axis_size=md_, queue_axis_size=mq_, norm_kind="groupnorm",
+        )
+        mesh = make_mesh(MeshSpec(md_, mq_))
+        state = shard_state(init_vince_state(jax.random.PRNGKey(0), cfg, opt), mesh)
+        step = make_train_step(cfg, opt, mesh)
+        ms = []
+        for i in range(3):
+            batch = ({"data": jnp.asarray(datas[i]), "queue_data": jnp.asarray(keys_d[i])},)
+            state, metrics = step(state, batch, jax.random.PRNGKey(9))
+            ms.append({k: float(v) for k, v in metrics.items()})
+        leaves = [np.asarray(jax.device_get(x))
+                  for x in jax.tree_util.tree_leaves(state.params)]
+        vecs = np.asarray(jax.device_get(state.queue.vectors))
+        return ms, leaves, vecs
+
+    ref_ms, ref_leaves, ref_vecs = run(4, 2)
+    got_ms, got_leaves, got_vecs = run(md, mq)
+    for a, b in zip(ref_ms, got_ms):
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], rtol=2e-4, atol=2e-5, err_msg=k)
+    for a, b in zip(ref_leaves, got_leaves):
+        np.testing.assert_allclose(b, a, rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(got_vecs[:48], ref_vecs[:48], rtol=1e-3, atol=1e-5)
+
+
 @pytest.mark.parametrize("bn_fold", ["none", "expand"])
 def test_sync_bn_matches_single_device_stats(cpu_devices, bn_fold):
     """--sync-bn: BN batch statistics psum'd over the data axis must equal the

@@ -20,10 +20,15 @@ reproduction — deviations documented):
     fallback (reference transforms.py:67 etc.). Resampling is pure bilinear
     (no antialiasing prefilter on downscale — PIL area-averages; at the ≤1.3×
     downscale ratios this pipeline sees, the difference is negligible).
-  - ColorJitter(brightness, contrast, saturation, hue): same per-op strength
-    distributions (reference transforms.py:68). Deviation: ops apply in fixed
-    order b→c→s→hue (torchvision shuffles the order per call), and hue shift
-    is the classic YIQ-plane rotation rather than an exact HSV re-map.
+  - ColorJitter(brightness, contrast, saturation, hue): torchvision
+    float-tensor semantics (reference transforms.py:68) — per-sample random
+    op order (randperm(4) per call) and exact HSV hue re-map
+    (``jitter_order="torchvision"``, the default). ``jitter_order="fixed"``
+    keeps the cheaper fixed b→c→s→hue order with YIQ-plane hue rotation
+    (round-1 behavior). Remaining deviation in both modes: float math on
+    unit-range tensors, not PIL's uint8 ImageEnhance arithmetic; grayscale
+    weights are PIL's 0.299/0.587/0.114 (torchvision tensor mode uses
+    0.2989 — difference below uint8 quantization).
   - RandomGrayscale(p), RandomHorizontalFlip, Normalize (:70-73).
   - RandomGaussianBlur: kernel = size//10 (truncated), sigma ~ U(0.1, 2.0),
     probability p (reference util_functions.py:104-132, transforms.py:115) —
@@ -58,6 +63,9 @@ class AugmentConfig:
     blur_prob: float = 0.0  # 0.5 for SimCLR/MoCoV2 pipelines
     blur_sigma: Tuple[float, float] = (0.1, 2.0)
     normalize: bool = True
+    # "torchvision": per-sample random op order + exact HSV hue (parity);
+    # "fixed": b→c→s→hue with YIQ hue rotation (cheaper; round-1 behavior)
+    jitter_order: str = "torchvision"
 
     @property
     def blur_kernel(self) -> int:
@@ -137,7 +145,7 @@ def _blend(a, b, factor):
 # crop-box sampling (torchvision RandomResizedCrop.get_params), batched
 
 
-def _sample_crop_boxes(rng, batch: int, in_h: int, in_w: int, cfg: AugmentConfig):
+def sample_crop_boxes(rng, batch: int, in_h: int, in_w: int, cfg: AugmentConfig):
     """10-attempt rejection sampling, vectorized over batch AND attempts.
     Returns (i, j, h, w) arrays [B] float32."""
     area = float(in_h * in_w)
@@ -221,35 +229,111 @@ def _apply_separable(img, w_y, w_x):
 
 
 # ---------------------------------------------------------------------------
-# batched color jitter (fixed order b→c→s→hue; strengths per torchvision)
+# batched color jitter
 
 
-def _color_jitter_batch(rng, img, cfg: AugmentConfig, group_size: int = 1):
+def _adjust_hue_hsv(img, shift):
+    """Exact HSV hue shift (torchvision F.adjust_hue float-tensor semantics):
+    h ← (h + shift) mod 1. img [B,H,W,3] in [0,1], shift [B] in [-0.5, 0.5]."""
+    hsv = _rgb_to_hsv(img)
+    h = (hsv[..., 0] + shift[:, None, None]) % 1.0
+    return _hsv_to_rgb(jnp.stack([h, hsv[..., 1], hsv[..., 2]], axis=-1))
+
+
+def color_jitter_apply(img, perm, fb, fc, fs, fh, cfg: AugmentConfig):
+    """Apply the four jitter ops in per-sample random order (torchvision
+    ColorJitter semantics: ``fn_idx = randperm(4)`` per call, factors drawn
+    upfront — reference ``transforms.py:68``).
+
+    img [B,H,W,3] in [0,1]; perm [B,4] permutations of (0,1,2,3);
+    fb/fc/fs [B] blend factors (1.0 = identity); fh [B] hue shift in turns
+    (0.0 = identity). Deterministic given its arguments — the parameter draws
+    live in the caller, so the numpy oracle test can inject identical params.
+
+    Each of the 4 stages evaluates the candidate ops and selects per sample;
+    the ops are elementwise (contrast's per-image grayscale mean is the one
+    small reduction), so XLA fuses each stage into ~one pass over the batch.
+    Statically disabled ops (strength 0 in cfg) contribute identity without
+    cost."""
+    zeros = None
+    for t in range(4):
+        op = perm[:, t]
+        out = img
+        if cfg.brightness:
+            if zeros is None:
+                zeros = jnp.zeros_like(img)
+            out = jnp.where((op == 0)[:, None, None, None],
+                            _blend(img, zeros, fb[:, None, None, None]), out)
+        if cfg.contrast:
+            mean = jnp.mean(_rgb_to_grayscale(img), axis=(1, 2, 3), keepdims=True)
+            out = jnp.where((op == 1)[:, None, None, None],
+                            _blend(img, jnp.broadcast_to(mean, img.shape),
+                                   fc[:, None, None, None]), out)
+        if cfg.saturation:
+            gray = jnp.broadcast_to(_rgb_to_grayscale(img), img.shape)
+            out = jnp.where((op == 2)[:, None, None, None],
+                            _blend(img, gray, fs[:, None, None, None]), out)
+        if cfg.hue:
+            out = jnp.where((op == 3)[:, None, None, None],
+                            _adjust_hue_hsv(img, fh), out)
+        img = out
+    return img
+
+
+def _color_jitter_batch(rng, img, cfg: AugmentConfig, group_size: int = 1, draw=None):
     b = img.shape[0]
     groups = b // group_size
-    keys = jax.random.split(rng, 5)
+    keys = jax.random.split(rng, 9)
 
-    def rep(v):
-        return jnp.repeat(v, group_size) if group_size > 1 else v
+    if draw is None:
+        def draw(key, **kw):
+            v = jax.random.uniform(key, (groups,), **kw)
+            return jnp.repeat(v, group_size) if group_size > 1 else v
 
-    apply = rep(jax.random.uniform(keys[0], (groups,)) < cfg.color_jitter_prob)
+    apply = draw(keys[0]) < cfg.color_jitter_prob
+
+    if cfg.jitter_order == "fixed":
+        # round-1 fast path: fixed b→c→s→hue order, YIQ-plane hue rotation
+        def factor(key, strength):
+            f = draw(key, minval=1.0 - strength, maxval=1.0 + strength)
+            return jnp.where(apply, f, 1.0)[:, None, None, None]
+
+        if cfg.brightness:
+            img = _blend(img, jnp.zeros_like(img), factor(keys[1], cfg.brightness))
+        if cfg.contrast:
+            mean = jnp.mean(_rgb_to_grayscale(img), axis=(1, 2, 3), keepdims=True)
+            img = _blend(img, jnp.broadcast_to(mean, img.shape), factor(keys[2], cfg.contrast))
+        if cfg.saturation:
+            gray = jnp.broadcast_to(_rgb_to_grayscale(img), img.shape)
+            img = _blend(img, gray, factor(keys[3], cfg.saturation))
+        if cfg.hue:
+            shift = draw(keys[4], minval=-cfg.hue, maxval=cfg.hue)
+            img = _hue_rotate(img, jnp.where(apply, shift, 0.0))
+        return img
+
+    assert cfg.jitter_order == "torchvision", cfg.jitter_order
+    ones = jnp.ones_like(apply, jnp.float32)
 
     def factor(key, strength):
-        f = jax.random.uniform(key, (groups,), minval=1.0 - strength, maxval=1.0 + strength)
-        return jnp.where(apply, rep(f), 1.0)[:, None, None, None]
+        f = draw(key, minval=max(0.0, 1.0 - strength), maxval=1.0 + strength)
+        return jnp.where(apply, f, 1.0)
 
-    if cfg.brightness:
-        img = _blend(img, jnp.zeros_like(img), factor(keys[1], cfg.brightness))
-    if cfg.contrast:
-        mean = jnp.mean(_rgb_to_grayscale(img), axis=(1, 2, 3), keepdims=True)
-        img = _blend(img, jnp.broadcast_to(mean, img.shape), factor(keys[2], cfg.contrast))
-    if cfg.saturation:
-        gray = jnp.broadcast_to(_rgb_to_grayscale(img), img.shape)
-        img = _blend(img, gray, factor(keys[3], cfg.saturation))
+    fb = factor(keys[1], cfg.brightness) if cfg.brightness else ones
+    fc = factor(keys[2], cfg.contrast) if cfg.contrast else ones
+    fs = factor(keys[3], cfg.saturation) if cfg.saturation else ones
     if cfg.hue:
-        shift = rep(jax.random.uniform(keys[4], (groups,), minval=-cfg.hue, maxval=cfg.hue))
-        img = _hue_rotate(img, jnp.where(apply, shift, 0.0))
-    return img
+        fh = jnp.where(apply, draw(keys[4], minval=-cfg.hue, maxval=cfg.hue), 0.0)
+    else:
+        fh = jnp.zeros_like(ones)
+    # per-sample uniformly random op order via argsort of iid uniforms
+    # (= torchvision's randperm(4) per call), globally keyed like every
+    # other parameter draw
+    u = jnp.stack([draw(keys[5 + i]) for i in range(4)], axis=1)
+    perm = jnp.argsort(u, axis=1).astype(jnp.int32)
+    out = color_jitter_apply(img, perm, fb, fc, fs, fh, cfg)
+    # exact identity for non-applied samples (the hue stage's HSV round
+    # trip at shift 0 is identity only up to float error)
+    return jnp.where(apply[:, None, None, None], out, img)
 
 
 def _finalize(out, cfg: AugmentConfig):
@@ -267,6 +351,8 @@ def augment_batch(
     train: bool = True,
     dtype=jnp.float32,
     group_size: int = 1,
+    global_batch: int = None,
+    row_offset=0,
 ) -> jax.Array:
     """Fused batched augmentation. images: [B, H, W, 3] uint8 (or unit float).
 
@@ -275,6 +361,12 @@ def augment_batch(
     ``shared_transform`` re-seeding (``r2v2_dataset.py:81-83``).
     ``group_size=T`` shares one augmentation across each run of T consecutive
     frames (the Kinetics clip semantics, ``kinetics_400_dataset.py:73-92``).
+
+    ``global_batch``/``row_offset`` make the randomness **mesh-invariant**:
+    parameter draws are made at the global batch size (cheap — all draws are
+    [B]-vectors) and each device slices its rows, so sample i's augmentation
+    is a function of (rng, i) alone, independent of how the batch is sharded.
+    ``row_offset`` may be a traced value (``d_idx * b_local``).
     """
     imgs = images.astype(jnp.float32)
     if images.dtype == jnp.uint8:
@@ -286,14 +378,27 @@ def augment_batch(
     b, in_h, in_w, _ = imgs.shape
     assert b % group_size == 0, (b, group_size)
     groups = b // group_size
+    if global_batch is None:
+        g_groups, g_off = groups, None
+    else:
+        assert global_batch % group_size == 0, (global_batch, group_size)
+        g_groups = global_batch // group_size
+        g_off = row_offset // group_size
+
+    def _slice(v):
+        if g_off is None:
+            return v
+        return jax.lax.dynamic_slice_in_dim(v, g_off, groups, axis=0)
 
     def draw(key, *a, **kw):
-        v = jax.random.uniform(key, (groups,), *a, **kw)
+        v = _slice(jax.random.uniform(key, (g_groups,), *a, **kw))
         return jnp.repeat(v, group_size) if group_size > 1 else v
 
     keys = jax.random.split(rng, 6)
     # crop boxes (grouped: same box across a clip's frames)
-    gi, gj, gh, gw = _sample_crop_boxes(keys[0], groups, in_h, in_w, cfg)
+    gi, gj, gh, gw = (
+        _slice(v) for v in sample_crop_boxes(keys[0], g_groups, in_h, in_w, cfg)
+    )
     if group_size > 1:
         gi, gj, gh, gw = (jnp.repeat(v, group_size) for v in (gi, gj, gh, gw))
     flip = draw(keys[1]) < cfg.hflip_prob
@@ -305,7 +410,7 @@ def augment_batch(
     out = jnp.clip(out, 0.0, 1.0)
 
     if cfg.brightness or cfg.contrast or cfg.saturation or cfg.hue:
-        out = _color_jitter_batch(keys[2], out, cfg, group_size=group_size)
+        out = _color_jitter_batch(keys[2], out, cfg, group_size=group_size, draw=draw)
     if cfg.grayscale_prob > 0:
         do_gray = draw(keys[3]) < cfg.grayscale_prob
         gray = jnp.broadcast_to(_rgb_to_grayscale(out), out.shape)

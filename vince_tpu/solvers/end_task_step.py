@@ -204,7 +204,7 @@ def make_end_task_train_step(
 
     def step_local(state: EndTaskState, batch, rng):
         d_idx = lax.axis_index(DATA_AXIS)
-        step_rng = jax.random.fold_in(jax.random.fold_in(rng, state.step), d_idx)
+        step_rng = jax.random.fold_in(rng, state.step)
         tcfg = make_config(cfg.transform, cfg.image_size)
 
         def loss_fn(decoder_params, encoder_params):
@@ -229,9 +229,13 @@ def make_end_task_train_step(
                 responses = decoder.apply({"params": decoder_params}, zf, xf)
                 out = tracking_losses(responses[..., 0], batch["labels"])
             else:
+                # global-row-keyed randomness: the augmentation stream is
+                # identical across mesh shapes (see vince_step._augment_sources)
                 images = augment_batch(
                     step_rng, batch["data"], tcfg, train=train, dtype=cfg.compute_dtype,
                     group_size=cfg.num_frames if cfg.task == "kinetics" else 1,
+                    global_batch=batch["data"].shape[0] * cfg.data_axis_size,
+                    row_offset=d_idx * batch["data"].shape[0],
                 )
                 feats, new_stats = _extract(
                     encoder, encoder_params, state.encoder_batch_stats, images, train, frozen

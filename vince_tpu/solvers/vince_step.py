@@ -247,21 +247,32 @@ def _augment_sources(cfg: VinceConfig, batch, rng, d_idx, mode: str = "train"):
     (resize/0.875 + center crop); keys of single-frame (image) sources stay
     train-augmented (RepeatedImagenetTransform's "first view val, rest train",
     reference transforms.py:189-197), video keys take the val path too.
+
+    Randomness is keyed by GLOBAL row index (augment_batch global_batch /
+    row_offset): sample i's augmentation depends on (rng, source, i) only —
+    never on the mesh shape — so training trajectories are identical across
+    (data × queue) mesh geometries and elastic resharding mid-run preserves
+    the augmentation stream.
     """
     q_imgs, k_imgs = [], []
     for si, src in enumerate(cfg.sources):
         tcfg = make_config(src.transform, cfg.image_size)
         src_rng = jax.random.fold_in(rng, si)
-        base = jax.random.fold_in(src_rng, d_idx)
-        q_rng = jax.random.fold_in(base, 0)
-        k_rng = q_rng if src.shared_transform else jax.random.fold_in(base, 1)
+        q_rng = jax.random.fold_in(src_rng, 0)
+        k_rng = q_rng if src.shared_transform else jax.random.fold_in(src_rng, 1)
         q_train = mode == "train"
         k_train = mode == "train" or src.num_frames == 1
+        b_local = batch[si]["data"].shape[0]
+        off = d_idx * b_local
         q_imgs.append(
-            augment_batch(q_rng, batch[si]["data"], tcfg, train=q_train, dtype=cfg.compute_dtype)
+            augment_batch(q_rng, batch[si]["data"], tcfg, train=q_train,
+                          dtype=cfg.compute_dtype,
+                          global_batch=src.batch_size, row_offset=off)
         )
         k_imgs.append(
-            augment_batch(k_rng, batch[si]["queue_data"], tcfg, train=k_train, dtype=cfg.compute_dtype)
+            augment_batch(k_rng, batch[si]["queue_data"], tcfg, train=k_train,
+                          dtype=cfg.compute_dtype,
+                          global_batch=src.batch_size, row_offset=off)
         )
     return jnp.concatenate(q_imgs, 0), jnp.concatenate(k_imgs, 0)
 
@@ -290,6 +301,11 @@ def _shuffle_keys(cfg: VinceConfig, rng, k_all, d_size: int):
     (k_in, perm): the shuffled local rows and the composite global
     permutation (device i's rows are x_global[perm][i*b:(i+1)*b]; feed perm
     to cross_device_unshuffle unchanged in either mode)."""
+    # pin the compute-dtype materialization so the collective moves bf16 key
+    # images, never a pre-convert f32 value XLA might prefer to keep live
+    # (the aug pipeline computes in f32 and converts at the end; sinking that
+    # convert below the gather would double the ICI bytes)
+    k_all = lax.optimization_barrier(k_all)
     b_total = k_all.shape[0] * d_size
     if cfg.shuffle_mode == "a2a":
         perm, sigma, tau = make_balanced_shuffle_perm(rng, b_total, d_size)
@@ -622,8 +638,12 @@ def make_key_prefill_fn(cfg: VinceConfig, mesh, src_idx: int):
 
     def embed_local(params, batch_stats, images, rng):
         d_idx = lax.axis_index(DATA_AXIS)
-        k_rng = jax.random.fold_in(jax.random.fold_in(rng, src_idx), d_idx)
-        imgs = augment_batch(k_rng, images, tcfg, train=True, dtype=cfg.compute_dtype)
+        k_rng = jax.random.fold_in(rng, src_idx)
+        imgs = augment_batch(
+            k_rng, images, tcfg, train=True, dtype=cfg.compute_dtype,
+            global_batch=images.shape[0] * cfg.data_axis_size,
+            row_offset=d_idx * images.shape[0],
+        )
         out, _ = model.apply(
             {"params": params, "batch_stats": batch_stats},
             imgs, train=True, mutable=["batch_stats"],
