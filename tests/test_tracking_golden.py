@@ -146,3 +146,72 @@ if __name__ == "__main__":
     os.makedirs(os.path.dirname(GOLDEN_PATH), exist_ok=True)
     np.save(GOLDEN_PATH, _run_golden())
     print(f"wrote {GOLDEN_PATH}")
+
+
+def test_batched_tracker_matches_serial(cpu_devices):
+    """BatchedTrackerSiamFC (N sequences in lockstep, VERDICT r2 #3) must
+    reproduce the serial tracker's boxes on synthetic sequences — slots run
+    the identical host-side crop/update code; only the device forward is
+    batched. 3 sequences > 2 slots exercises the slot-refill path."""
+    import jax
+    import jax.numpy as jnp
+
+    from vince_tpu.solvers.end_task_step import (
+        EndTaskConfig, build_optimizer, init_end_task_state,
+    )
+    from vince_tpu.tracking.sequences import SyntheticSequences
+    from vince_tpu.tracking.tracker import BatchedTrackerSiamFC, TrackerSiamFC
+
+    cfg = EndTaskConfig(
+        task="tracking", backbone="ResNet18SiamFCDilated", embed_size=16,
+        num_classes=4, image_size=120, transform="GOT10KTransform",
+        freeze_feature_extractor=True, compute_dtype=jnp.float32,
+        data_axis_size=1,
+    )
+    opt = build_optimizer(cfg, 0.01, "sgd")
+    state = init_end_task_state(jax.random.PRNGKey(0), cfg, opt)
+
+    seqs = SyntheticSequences(num_seqs=3, num_frames=5, seed=3)
+    sequences = [(seqs[i][0], seqs[i][1][0]) for i in range(3)]
+
+    serial = TrackerSiamFC("serial", None, cfg, state)
+    want = [serial.track(files, box)[0] for files, box in sequences]
+
+    batched = BatchedTrackerSiamFC("batched", None, cfg, state, n_slots=2)
+    got = batched.track_all(sequences)
+
+    assert len(got) == 3
+    for (boxes, times), ref in zip(got, want):
+        np.testing.assert_allclose(boxes, ref, atol=1e-2)
+        assert times.shape == (5,)
+
+
+def test_batched_tracker_through_experiment(cpu_devices, tmp_path):
+    """ExperimentOTB.run drives a track_all tracker over the whole benchmark
+    in one lockstep pass and reports per-sequence metrics as before."""
+    import jax
+    import jax.numpy as jnp
+
+    from vince_tpu.solvers.end_task_step import (
+        EndTaskConfig, build_optimizer, init_end_task_state,
+    )
+    from vince_tpu.tracking.experiments import ExperimentOTB
+    from vince_tpu.tracking.sequences import SyntheticSequences
+    from vince_tpu.tracking.tracker import BatchedTrackerSiamFC
+
+    cfg = EndTaskConfig(
+        task="tracking", backbone="ResNet18SiamFCDilated", embed_size=16,
+        num_classes=4, image_size=120, transform="GOT10KTransform",
+        freeze_feature_extractor=True, compute_dtype=jnp.float32,
+        data_axis_size=1,
+    )
+    opt = build_optimizer(cfg, 0.01, "sgd")
+    state = init_end_task_state(jax.random.PRNGKey(1), cfg, opt)
+    tracker = BatchedTrackerSiamFC("batched_exp", None, cfg, state, n_slots=4)
+    exp = ExperimentOTB(
+        None, result_dir=str(tmp_path / "results"),
+        sequences=SyntheticSequences(num_seqs=3, num_frames=4, seed=4),
+    )
+    results = exp.run(tracker)
+    assert set(results) >= {"precision", "success", "speed_fps"}
+    assert os.path.exists(tmp_path / "results" / "batched_exp.json")

@@ -172,6 +172,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     parser.add_argument("--no-shuffle-bn", dest="shuffle_bn", action="store_false")
     parser.add_argument(
+        "--tracker-slots", type=int, default=8,
+        help="OTB/GOT-10k eval: track N sequences in lockstep through one "
+        "batched forward (1 = the reference's serial per-sequence loop).",
+    )
+    parser.add_argument(
         "--shuffle-mode", type=str, default="gather", choices=["gather", "a2a"],
         help="Shuffled-BN key scatter: 'gather' all_gathers the global key "
         "images (d*b rows in per chip); 'a2a' uses a balanced all_to_all "

@@ -491,7 +491,7 @@ class EndTaskTrackingSolver(EndTaskBaseSolver):
 
     def run_eval(self):
         from vince_tpu.tracking.experiments import ExperimentOTB
-        from vince_tpu.tracking.tracker import TrackerSiamFC
+        from vince_tpu.tracking.tracker import BatchedTrackerSiamFC, TrackerSiamFC
 
         # the tracker is a host-driven per-frame loop on plain local jit —
         # a single-controller tool: process 0 runs it on a localized copy of
@@ -502,11 +502,15 @@ class EndTaskTrackingSolver(EndTaskBaseSolver):
                 multihost.sync("otb_eval")
                 return {}
             state = jax.device_get(self.state)
-        tracker = TrackerSiamFC(
+        n_slots = getattr(self.args, "tracker_slots", 8)
+        tracker_cls = BatchedTrackerSiamFC if n_slots > 1 else TrackerSiamFC
+        kwargs = {"n_slots": n_slots} if n_slots > 1 else {}
+        tracker = tracker_cls(
             name=f"SiamFC_{self.model_name}_{self.args.description}",
             cfg=None,  # defaults (TRACKER_CFG)
             encoder_cfg=self.cfg,
             state=state,
+            **kwargs,
         )
         root = os.path.join(self.args.data_path, "otb100") if self.args.data_path else None
         experiment = ExperimentOTB(root)

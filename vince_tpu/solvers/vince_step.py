@@ -171,7 +171,10 @@ def init_vince_state(
     rng: jax.Array, cfg: VinceConfig, optimizer: optax.GradientTransformation
 ) -> VinceState:
     """Single-process init; shard with ``shard_state`` before stepping."""
-    model = build_encoder(cfg)
+    # init runs outside shard_map where no mesh axis is bound: drop sync_bn
+    # (it only inserts psums in the train-mode stat path — the variable
+    # structure is identical)
+    model = build_encoder(dataclasses.replace(cfg, sync_bn=False))
     p_rng, q_rng = jax.random.split(rng)
     dummy = jnp.zeros((2, cfg.image_size, cfg.image_size, 3), cfg.compute_dtype)
     variables = model.init({"params": p_rng}, dummy, method=VinceEncoder.full_init)

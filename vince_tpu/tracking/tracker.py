@@ -19,9 +19,11 @@ from vince_tpu.tracking.ops import get_cropped_input, read_image
 
 
 class TrackerSiamFC:
-    def __init__(self, name, cfg, encoder_cfg, state):
+    def __init__(self, name, cfg, encoder_cfg, state, share_jitted_from=None):
         """state: EndTaskState (encoder + tracking-head params);
-        encoder_cfg: EndTaskConfig for the backbone."""
+        encoder_cfg: EndTaskConfig for the backbone.
+        ``share_jitted_from``: reuse another tracker's jitted forwards (one
+        compile serves every slot of the batched tracker)."""
         self.name = name
         self.cfg = dict(TRACKER_CFG)
         if cfg:
@@ -36,7 +38,11 @@ class TrackerSiamFC:
             self.cfg["scale_num"] // 2,
             self.cfg["scale_num"],
         )
-        self._build_jitted()
+        if share_jitted_from is not None:
+            self._kernel_fn = share_jitted_from._kernel_fn
+            self._responses_fn = share_jitted_from._responses_fn
+        else:
+            self._build_jitted()
 
     def _build_jitted(self):
         import jax
@@ -112,17 +118,13 @@ class TrackerSiamFC:
         z = self._crop(img, self.center, self.z_sz, self.cfg["exemplar_sz"])
         self.kernel = self._kernel_fn(self.state, z[None].astype(np.uint8))
 
-    def update(self, img: np.ndarray):
-        x = np.stack(
-            [
-                self._crop(img, self.center, self.x_sz * f, self.cfg["instance_sz"])
-                for f in self.scale_factors
-            ]
-        ).astype(np.uint8)
-        responses = np.array(self._responses_fn(self.state, self.kernel, x), np.float32)
-
+    def _apply_response(self, responses: np.ndarray):
+        """Host post-process of one frame's 3-scale responses: hann smoothing,
+        argmax → displacement → box/scale state update (reference
+        tracker.py:143-205). Mutates center/target_sz/z_sz/x_sz; returns the
+        1-indexed [x, y, w, h] box."""
         scale_id = int(np.argmax(np.amax(responses, axis=(1, 2))))
-        response = responses[scale_id]
+        response = responses[scale_id].copy()  # device buffers are read-only
         response -= response.min()
         response /= response.sum() + 1e-16
         response = (
@@ -152,6 +154,19 @@ class TrackerSiamFC:
             ]
         )
 
+    def _scale_crops(self, img: np.ndarray) -> np.ndarray:
+        return np.stack(
+            [
+                self._crop(img, self.center, self.x_sz * f, self.cfg["instance_sz"])
+                for f in self.scale_factors
+            ]
+        ).astype(np.uint8)
+
+    def update(self, img: np.ndarray):
+        x = self._scale_crops(img)
+        responses = np.array(self._responses_fn(self.state, self.kernel, x), np.float32)
+        return self._apply_response(responses)
+
     def track(self, img_files, box):
         """Per-sequence loop (reference :207-228)."""
         import time
@@ -168,3 +183,150 @@ class TrackerSiamFC:
                 boxes[f] = self.update(img)
             times[f] = time.time() - t0
         return boxes, times
+
+
+class BatchedTrackerSiamFC:
+    """Tracks N sequences in LOCKSTEP through one jitted [N·scales] forward.
+
+    The reference evaluation loop is strictly serial — one sequence at a
+    time, one 3-scale forward per frame (``siamfc_pytorch/tracker.py:207-228``
+    via got10k's per-sequence ExperimentOTB loop). The per-frame forward is
+    fixed-shape, so N sequences batch into a single [N·S, iz, iz, 3] call:
+    per-frame dispatch/transfer overhead (the dominant cost through the axon
+    tunnel at ~8-14 fps/seq) amortizes N ways, turning an hours-long
+    OTB-2015 eval into minutes. Host-side crops and the box/scale update
+    stay per-sequence (exactly ``TrackerSiamFC``'s code — slots ARE serial
+    trackers sharing one compiled forward), so results match the serial
+    tracker to float-fusion noise.
+
+    Slot scheduling: when a sequence finishes, its slot is refilled with the
+    next pending sequence; trailing steps run with idle slots fed zeros.
+    """
+
+    def __init__(self, name, cfg, encoder_cfg, state, n_slots: int = 8):
+        self.name = name
+        self.n_slots = n_slots
+        self.encoder_cfg = encoder_cfg
+        self.state = state
+        self._cfg_overrides = cfg
+        self._proto = TrackerSiamFC(name, cfg, encoder_cfg, state)
+        self.cfg = self._proto.cfg
+        self.upscale_sz = self._proto.upscale_sz
+        self._build_batched()
+
+    def _build_batched(self):
+        import jax
+        import jax.numpy as jnp
+
+        from vince_tpu.models.vince_model import VinceEncoder
+        from vince_tpu.ops.augment import AugmentConfig, _finalize
+        from vince_tpu.ops.xcorr import multi_scale_xcorr
+        from vince_tpu.solvers.end_task_step import build_models
+
+        encoder, decoder = build_models(self.encoder_cfg)
+        ecfg = self.encoder_cfg
+        upscale_sz = self.upscale_sz
+        s_num = self.cfg["scale_num"]
+        penalty = np.full((s_num,), self.cfg["scale_penalty"], np.float32)
+        penalty[s_num // 2] = 1.0
+        out_scale = self.cfg["out_scale"]
+
+        def features(params, stats, imgs_u8):
+            imgs = _finalize(imgs_u8.astype(jnp.float32) / 255.0, AugmentConfig())
+            out = encoder.apply(
+                {"params": params, "batch_stats": stats},
+                imgs.astype(ecfg.compute_dtype), train=False,
+                method=VinceEncoder.extract_features,
+            )
+            return out["spatial_features"]
+
+        @jax.jit
+        def batched_responses_fn(state, kernels, x_imgs):
+            # kernels [N, hz, wz, C]; x_imgs [N, S, iz, iz, 3] uint8
+            n, s = x_imgs.shape[:2]
+            flat = x_imgs.reshape((n * s,) + x_imgs.shape[2:])
+            xf = features(state.encoder_params, state.encoder_batch_stats, flat)
+            proj_x = decoder.apply(
+                {"params": state.decoder_params}, search_features=xf,
+                method=type(decoder).project,
+            )["x"]
+            proj_z = decoder.apply(
+                {"params": state.decoder_params}, exemplar_features=kernels,
+                method=type(decoder).project,
+            )["z"]
+            pj = proj_x.reshape((n, s) + proj_x.shape[1:])
+            resp = jax.vmap(
+                lambda z, xs: multi_scale_xcorr(z, xs, out_scale=out_scale)
+            )(proj_z, pj)  # [N, S, hy, wy]
+            flat_r = resp.reshape((n * s,) + resp.shape[2:])
+            up = jax.image.resize(
+                flat_r, (n * s, upscale_sz, upscale_sz), method="bicubic"
+            ).reshape(n, s, upscale_sz, upscale_sz)
+            return up * jnp.asarray(penalty)[None, :, None, None]
+
+        self._batched_responses_fn = batched_responses_fn
+
+    def track_all(self, sequences):
+        """sequences: list of (img_files, init_box). Returns the aligned list
+        of (boxes [T,4], times [T]) — the same contract as N ``track`` calls."""
+        import time
+
+        n_seq = len(sequences)
+        results = [None] * n_seq
+        slots = [None] * self.n_slots  # each: dict(tracker, seq_id, frame, boxes, times)
+        next_seq = 0
+        iz = self.cfg["instance_sz"]
+        s_num = self.cfg["scale_num"]
+        kern_shape = None
+        x_batch = None
+
+        while True:
+            # refill idle slots (exemplar init — single-image jitted call)
+            for si in range(self.n_slots):
+                if slots[si] is None and next_seq < n_seq:
+                    img_files, box = sequences[next_seq]
+                    t0 = time.time()
+                    trk = TrackerSiamFC(
+                        self.name, self._cfg_overrides, self.encoder_cfg,
+                        self.state, share_jitted_from=self._proto,
+                    )
+                    img = read_image(img_files[0])
+                    trk.init(img, box)
+                    boxes = np.zeros((len(img_files), 4))
+                    boxes[0] = box
+                    times = np.zeros(len(img_files))
+                    times[0] = time.time() - t0
+                    slots[si] = {
+                        "trk": trk, "seq_id": next_seq, "frame": 1,
+                        "files": img_files, "boxes": boxes, "times": times,
+                    }
+                    next_seq += 1
+            active = [si for si in range(self.n_slots) if slots[si] is not None]
+            if not active:
+                break
+
+            t0 = time.time()
+            if kern_shape is None:
+                k0 = np.asarray(slots[active[0]]["trk"].kernel)
+                kern_shape, kern_dtype = k0.shape[1:], k0.dtype
+                x_batch = np.zeros((self.n_slots, s_num, iz, iz, 3), np.uint8)
+            kernels = np.zeros((self.n_slots,) + kern_shape, kern_dtype)
+            for si in active:
+                sl = slots[si]
+                kernels[si] = np.asarray(sl["trk"].kernel)[0]
+                img = read_image(sl["files"][sl["frame"]])
+                x_batch[si] = sl["trk"]._scale_crops(img)
+            responses = np.asarray(
+                self._batched_responses_fn(self.state, kernels, x_batch), np.float32
+            )
+            dt = (time.time() - t0) / len(active)
+
+            for si in active:
+                sl = slots[si]
+                sl["boxes"][sl["frame"]] = sl["trk"]._apply_response(responses[si])
+                sl["times"][sl["frame"]] = dt
+                sl["frame"] += 1
+                if sl["frame"] >= len(sl["files"]):
+                    results[sl["seq_id"]] = (sl["boxes"], sl["times"])
+                    slots[si] = None
+        return results
