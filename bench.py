@@ -122,6 +122,7 @@ def run_bench(batch: int, steps: int, backbone: str, image: int, queue_size: int
         bn_fold=os.environ.get("BENCH_BN_FOLD", "expand"),  # none|expand|all
         fold_kernel=bool(int(os.environ.get("BENCH_FOLD_KERNEL", "0"))),
         dw_kind=os.environ.get("BENCH_DW_KIND", "conv"),  # conv|tap (EfficientNet)
+        jitter_order=os.environ.get("BENCH_JITTER", "torchvision"),  # |fixed
     )
     mesh = make_mesh(MeshSpec(data_axis_size=n_dev, queue_axis_size=1))
     optimizer = optax.chain(optax.add_decayed_weights(1e-4), optax.sgd(0.03, momentum=0.9))

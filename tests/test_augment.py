@@ -296,3 +296,34 @@ def test_color_jitter_hue_exact_hsv():
     h, s, v = _np_rgb_to_hsv(img)
     want = _np_hsv_to_rgb((h + fh[:, None, None]) % 1.0, s, v)
     np.testing.assert_allclose(ours, want, atol=2e-5)
+
+
+def test_no_image_sized_gathers_in_train_lowering():
+    """Perf regression guard: the fused train augmentation must never lower
+    to a gather over image-sized operands. jnp.choose (and any vmap/gather
+    formulation) lowers to stablehlo.gather, which runs on the TPU scalar
+    core — measured +2.5 s/step at b=128@224 when the HSV sextant dispatch
+    used choose. Small parameter-table gathers ([B,10] crop attempts) are
+    fine; anything over 1 MB is a bug."""
+    import re
+
+    from vince_tpu.ops.augment import augment_batch
+
+    cfg = AugmentConfig(size=(64, 64), brightness=0.4, contrast=0.4,
+                        saturation=0.4, hue=0.2, blur_prob=0.5,
+                        jitter_order="torchvision")
+    x = jnp.zeros((8, 73, 73, 3), jnp.uint8)
+    text = (
+        jax.jit(lambda r, im: augment_batch(r, im, cfg, train=True))
+        .lower(jax.random.PRNGKey(0), x)
+        .as_text()
+    )
+    big = []
+    for m in re.finditer(r'"stablehlo\.(?:gather|scatter)"[^\n]*->\s*tensor<([\dx]+)x', text):
+        dims = [int(d) for d in m.group(1).split("x") if d]
+        n = 1
+        for d in dims:
+            n *= d
+        if n * 4 > 1_000_000:
+            big.append((m.group(0)[:120], n))
+    assert not big, big

@@ -15,11 +15,11 @@ from vince_tpu.utils.torch_convert import convert_vince_state_dict
 from vince_tpu.utils.torch_export import export_vince_state_dict
 
 
-def _init_encoder(backbone, use_decoders=False, jigsaw=False):
+def _init_encoder(backbone, use_decoders=False, jigsaw=False, use_attention=False):
     enc = VinceEncoder(
         backbone_name=backbone, embed_size=16,
         use_imagenet_decoders=use_decoders, num_imagenet_classes=10,
-        jigsaw=jigsaw,
+        jigsaw=jigsaw, use_attention=use_attention,
     )
     x = jnp.zeros((1, 64, 64, 3), jnp.float32)
     variables = enc.init({"params": jax.random.PRNGKey(0)}, x, train=False,
@@ -72,6 +72,29 @@ def test_export_roundtrip_with_jigsaw():
     assert "jigsaw_embedding.2.weight" in sd
     rt_params, rt_stats = convert_vince_state_dict(sd)
     _assert_tree_roundtrip(params, stats, rt_params, rt_stats)
+
+
+def test_export_roundtrip_with_attention_pool():
+    """--use-attention checkpoints round-trip: the 1×1 C→1 logits conv
+    exports under average_layers.* (reference vince_model.py:31) in torch
+    conv layout and the shape-driven converter maps it back exactly."""
+    params, stats = _init_encoder("ResNet18", use_attention=True)
+    sd = export_vince_state_dict(params, stats)
+    assert sd["average_layers.attention.weight"].shape == (1, 512, 1, 1)
+    assert sd["average_layers.attention.bias"].shape == (1,)
+    rt_params, rt_stats = convert_vince_state_dict(sd)
+    _assert_tree_roundtrip(params, stats, rt_params, rt_stats)
+
+
+def test_attention_pool_convert_refuses_unknown_shapes():
+    """average_layers.* tensors that are NOT a single 1×1 C→1 map (a richer
+    dg_util architecture than ours) must be skipped, not guessed at."""
+    params, stats = _init_encoder("ResNet18")
+    sd = export_vince_state_dict(params, stats)
+    sd["average_layers.fc1.weight"] = np.zeros((256, 512, 1, 1), np.float32)
+    sd["average_layers.fc2.weight"] = np.zeros((1, 256, 1, 1), np.float32)
+    rt_params, _ = convert_vince_state_dict(sd)
+    assert "pool" not in rt_params
 
 
 def test_export_torch_conv_layout():

@@ -19,8 +19,12 @@ run() {  # run NAME CMD...
   echo "exit=$? $(tail -1 "$OUT/$name.log")"
 }
 
-# ---- 1. headline re-bench -------------------------------------------------
+# ---- 1. headline re-bench + ColorJitter A/B --------------------------------
 run bench_r50_q65536 env BENCH_STEPS=20 python bench.py
+run bench_r50_jitter_fixed env BENCH_JITTER=fixed BENCH_STEPS=10 python bench.py
+
+# ---- 1b. staging-path saturation proof (VERDICT r2 #8) ---------------------
+run bench_loader env LB_STEPS=20 python tools/bench_loader.py
 
 # ---- 2. big-queue step datapoints (R50 b=128@224) --------------------------
 run bench_r50_q262144 env BENCH_QUEUE=262144 BENCH_FUSED=1 BENCH_STEPS=10 python bench.py
@@ -30,6 +34,9 @@ run bench_r50_q1048576 env BENCH_QUEUE=1048576 BENCH_FUSED=1 BENCH_STEPS=10 pyth
 for B in 0 1 2 3 4; do
   run "bench_effnet_b$B" env "BENCH_BACKBONE=EfficientNetB$B" BENCH_STEPS=10 python bench.py
 done
+
+# ---- 3b. per-fusion traffic accounting (VERDICT r2 #7; compile-only) -------
+run traffic_table python tools/traffic_table.py --save "$OUT/r50_step_opt.hlo" --top 40
 
 # ---- 4a. q=262144 training soak: 6 epochs x 500 steps, wraparound at 2048 --
 SOAK_ARGS=(

@@ -184,6 +184,12 @@ def build_parser() -> argparse.ArgumentParser:
         "axis size).",
     )
     parser.add_argument(
+        "--jitter-order", default="torchvision", choices=["torchvision", "fixed"],
+        help="ColorJitter semantics: 'torchvision' = per-sample random op "
+        "order + exact HSV hue (reference transforms parity); 'fixed' = "
+        "b->c->s->hue with YIQ hue rotation (round-1 fast path).",
+    )
+    parser.add_argument(
         "--loader-processes", action="store_true",
         help="Fork-pool loader workers (true parallel JPEG decode on multi-core "
         "hosts; threads are GIL-bound).",

@@ -106,9 +106,19 @@ def _hsv_to_rgb(img):
     q = v * (1.0 - f * s)
     t = v * (1.0 - (1.0 - f) * s)
     i = i.astype(jnp.int32) % 6
-    r = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
-    g = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
-    b = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
+
+    # sextant dispatch as a pure select chain — NEVER jnp.choose here: choose
+    # lowers to a per-element stablehlo.gather over the stacked candidates,
+    # which runs on the TPU scalar core (measured: +2.5 s/step at b=128@224,
+    # the round-1 vmap/gather failure mode all over again)
+    def pick(c0, c1, c2, c3, c4, c5):
+        return jnp.where(
+            i == 0, c0, jnp.where(i == 1, c1, jnp.where(
+                i == 2, c2, jnp.where(i == 3, c3, jnp.where(i == 4, c4, c5)))))
+
+    r = pick(v, q, p, p, t, v)
+    g = pick(t, v, v, q, p, p)
+    b = pick(p, p, t, v, v, q)
     return jnp.stack([r, g, b], axis=-1)
 
 
@@ -250,34 +260,61 @@ def color_jitter_apply(img, perm, fb, fc, fs, fh, cfg: AugmentConfig):
     (0.0 = identity). Deterministic given its arguments — the parameter draws
     live in the caller, so the numpy oracle test can inject identical params.
 
-    Each of the 4 stages evaluates the candidate ops and selects per sample;
-    the ops are elementwise (contrast's per-image grayscale mean is the one
-    small reduction), so XLA fuses each stage into ~one pass over the batch.
+    Cost shape: the three blend ops are 1–2 fused elementwise passes per
+    stage (contrast's per-image grayscale mean is the one small reduction).
+    The HSV hue round trip — by far the heaviest op — is evaluated exactly
+    ONCE: every permutation contains op 3 exactly once, so the composition
+    splits into (blend ops at stages before hue) → hue → (blend ops after).
     Statically disabled ops (strength 0 in cfg) contribute identity without
     cost."""
-    zeros = None
-    for t in range(4):
-        op = perm[:, t]
-        out = img
-        if cfg.brightness:
-            if zeros is None:
-                zeros = jnp.zeros_like(img)
-            out = jnp.where((op == 0)[:, None, None, None],
-                            _blend(img, zeros, fb[:, None, None, None]), out)
-        if cfg.contrast:
-            mean = jnp.mean(_rgb_to_grayscale(img), axis=(1, 2, 3), keepdims=True)
-            out = jnp.where((op == 1)[:, None, None, None],
-                            _blend(img, jnp.broadcast_to(mean, img.shape),
-                                   fc[:, None, None, None]), out)
-        if cfg.saturation:
-            gray = jnp.broadcast_to(_rgb_to_grayscale(img), img.shape)
-            out = jnp.where((op == 2)[:, None, None, None],
-                            _blend(img, gray, fs[:, None, None, None]), out)
-        if cfg.hue:
-            out = jnp.where((op == 3)[:, None, None, None],
-                            _adjust_hue_hsv(img, fh), out)
-        img = out
-    return img
+
+    def blend_stages(img, active, stages):
+        # Each stage applies AT MOST ONE of the three blend ops per sample,
+        # and every blend op is the channel-affine map
+        #   out = clip(a·img + b·gray(img) + c·mean(gray(img)))
+        # (brightness: a=f; contrast: a=f, c=1−f; saturation: a=f, b=1−f;
+        # identity: a=1). Selecting [B]-scalar coefficients instead of
+        # selecting between full candidate tensors keeps every stage ONE
+        # fused elementwise pass + a (epilogue-fusable) mean reduction —
+        # the tensor-select form measured ~3 ms/step slower at b=128@224.
+        if not (cfg.brightness or cfg.contrast or cfg.saturation):
+            return img
+        for t in stages:
+            op = perm[:, t]
+            on = active(t)
+            a = jnp.ones_like(fb)
+            bg = jnp.zeros_like(fb)
+            cm = jnp.zeros_like(fb)
+            if cfg.brightness:
+                a = jnp.where((op == 0) & on, fb, a)
+            if cfg.contrast:
+                sel = (op == 1) & on
+                a = jnp.where(sel, fc, a)
+                cm = jnp.where(sel, 1.0 - fc, cm)
+            if cfg.saturation:
+                sel = (op == 2) & on
+                a = jnp.where(sel, fs, a)
+                bg = jnp.where(sel, 1.0 - fs, bg)
+            gray = (_rgb_to_grayscale(img)
+                    if (cfg.contrast or cfg.saturation) else None)  # [B,H,W,1]
+            out = a[:, None, None, None] * img
+            if cfg.saturation:
+                out = out + bg[:, None, None, None] * gray
+            if cfg.contrast:
+                mean = jnp.mean(gray, axis=(1, 2, 3), keepdims=True)
+                out = out + cm[:, None, None, None] * mean
+            img = jnp.clip(out, 0.0, 1.0)
+        return img
+
+    if not cfg.hue:
+        every = jnp.ones((img.shape[0],), bool)
+        return blend_stages(img, lambda t: every, range(4))
+    h_pos = jnp.argmax(perm == 3, axis=1)  # [B] — hue's stage per sample
+    # stage 3 can never be before hue (h_pos ≤ 3) and stage 0 never after —
+    # 3+3 live stages, not 4+4
+    img = blend_stages(img, lambda t: t < h_pos, range(3))
+    img = _adjust_hue_hsv(img, fh)
+    return blend_stages(img, lambda t: t > h_pos, range(1, 4))
 
 
 def _color_jitter_batch(rng, img, cfg: AugmentConfig, group_size: int = 1, draw=None):

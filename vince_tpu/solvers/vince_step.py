@@ -109,6 +109,10 @@ class VinceConfig:
     # --dw-kind: EfficientNet depthwise emission ("conv" grouped op | "tap"
     # k² elementwise FMAs — loop fusions that admit BN-stat fusion)
     dw_kind: str = "conv"
+    # --jitter-order: ColorJitter op-order semantics. "torchvision" = exact
+    # per-sample random order + HSV hue (parity default); "fixed" = round-1
+    # b→c→s→hue with YIQ hue rotation (cheaper — one fewer image pass set)
+    jitter_order: str = "torchvision"
 
     @property
     def total_batch(self) -> int:
@@ -259,7 +263,7 @@ def _augment_sources(cfg: VinceConfig, batch, rng, d_idx, mode: str = "train"):
     """
     q_imgs, k_imgs = [], []
     for si, src in enumerate(cfg.sources):
-        tcfg = make_config(src.transform, cfg.image_size)
+        tcfg = make_config(src.transform, cfg.image_size, jitter_order=cfg.jitter_order)
         src_rng = jax.random.fold_in(rng, si)
         q_rng = jax.random.fold_in(src_rng, 0)
         k_rng = q_rng if src.shared_transform else jax.random.fold_in(src_rng, 1)
@@ -637,7 +641,7 @@ def make_key_prefill_fn(cfg: VinceConfig, mesh, src_idx: int):
     over."""
     model = build_encoder(cfg)
     src = cfg.sources[src_idx]
-    tcfg = make_config(src.transform, cfg.image_size)
+    tcfg = make_config(src.transform, cfg.image_size, jitter_order=cfg.jitter_order)
 
     def embed_local(params, batch_stats, images, rng):
         d_idx = lax.axis_index(DATA_AXIS)

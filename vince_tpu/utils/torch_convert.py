@@ -220,13 +220,50 @@ def convert_vince_state_dict(state_dict) -> Tuple[Dict, Dict]:
     jig.update(maybe("jigsaw_embedding.2", "fc2"))
     if jig:
         params["jigsaw"] = jig
-    if any(k.startswith("average_layers.") and hasattr(t, "shape")
-           for k, t in state_dict.items()):
-        print("WARNING: checkpoint carries attention-pool (average_layers.*) "
-              "weights — dg_util AttentionPool2D naming is unverified offline, "
-              "so they are NOT converted; restore with --use-attention will "
-              "re-initialize the pool")
+    attn = {k: _to_numpy(t) for k, t in state_dict.items()
+            if _strip_prefix(k).startswith("average_layers.") and hasattr(t, "shape")}
+    if attn:
+        pool = _convert_attention_pool(attn)
+        if pool is not None:
+            params["pool"] = pool
+        else:
+            print("WARNING: checkpoint carries attention-pool (average_layers.*) "
+                  "weights whose shapes do not identify a single 1×1 C→1 "
+                  "attention map — NOT converted; restore with --use-attention "
+                  "will re-initialize the pool")
     return params, stats
+
+
+def _convert_attention_pool(tensors: Dict[str, "np.ndarray"]):
+    """Structure-driven mapping of ``average_layers.*`` (reference
+    vince_model.py:31 — dg_util AttentionPool2D, whose source is unavailable
+    offline) onto our softmax-attention pool (heads.AttentionPool2D: one 1×1
+    conv C→1 producing the spatial logits).
+
+    Converts ONLY when the tensor shapes identify that map unambiguously:
+    exactly one weight with a single output unit (conv ``[1, C, 1, 1]`` or
+    linear ``[1, C]``) plus at most one ``[1]`` bias. Anything richer means a
+    different architecture — refuse rather than guess wrong. Returns the flax
+    ``pool`` subtree or None.
+    """
+    weights, biases = [], []
+    for v in tensors.values():
+        if v.ndim == 0 or not np.issubdtype(v.dtype, np.floating):
+            continue  # num_batches_tracked-style counters
+        if v.ndim == 4 and v.shape[0] == 1 and v.shape[2] == v.shape[3] == 1:
+            weights.append(v.transpose(2, 3, 1, 0))  # [O,I,kh,kw]→[kh,kw,I,O]
+        elif v.ndim == 2 and v.shape[0] == 1:
+            weights.append(v.T.reshape(1, 1, v.shape[1], 1))
+        elif v.ndim == 1 and v.shape[0] == 1:
+            biases.append(v)
+        else:
+            return None
+    if len(weights) != 1 or len(biases) > 1:
+        return None
+    mod = {"kernel": weights[0]}
+    if biases:
+        mod["bias"] = biases[0]
+    return {"attn_logits": mod}
 
 
 def load_torch_checkpoint(path: str):

@@ -153,10 +153,14 @@ def export_vince_state_dict(params: Dict, batch_stats: Dict) -> Dict[str, np.nda
             _export_linear(out, "jigsaw_embedding.2", jig["fc2"])
     if params.get("pool"):
         # attention pooling (reference average_layers = dg_util
-        # AttentionPool2D) — its torch parameter naming cannot be verified
-        # offline, so these weights are NOT exported; say so rather than
-        # silently dropping them.
-        print("WARNING: attention-pool params present but not exported "
-              "(reference dg_util AttentionPool2D naming unverified); the "
-              "exported model pools by average")
+        # AttentionPool2D, source unavailable offline): export the 1×1 C→1
+        # logits conv under a conv2d-shaped key our converter's
+        # shape-driven mapping accepts back, so attention-pool checkpoints
+        # round-trip JAX→torch→JAX even though dg_util's exact field names
+        # can't be verified here.
+        pool = params["pool"]["attn_logits"]
+        k = _np(pool["kernel"])  # [1, 1, C, 1]
+        out["average_layers.attention.weight"] = k.transpose(3, 2, 0, 1)
+        if "bias" in pool:
+            out["average_layers.attention.bias"] = _np(pool["bias"])
     return out

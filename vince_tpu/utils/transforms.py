@@ -34,10 +34,13 @@ def _cfg(size: Tuple[int, int], **kw) -> AugmentConfig:
     return dataclasses.replace(AugmentConfig(size=size), **kw)
 
 
-def make_config(name: str, size) -> AugmentConfig:
+def make_config(name: str, size, jitter_order: str = None) -> AugmentConfig:
     if isinstance(size, int):
         size = (size, size)
     size = tuple(size)
+    if jitter_order is not None:
+        cfg = make_config(name, size)
+        return dataclasses.replace(cfg, jitter_order=jitter_order)
     if name not in _BUILDERS:
         raise KeyError(f"unknown transform {name!r}; choices: {sorted(_BUILDERS)}")
     return _BUILDERS[name](size)
