@@ -13,6 +13,7 @@ and the trace-measured actual traffic. Usage:
 
     python tools/roofline_model.py [ResNet50|ResNet18] [batch] [image]
 """
+import re
 import sys
 
 PEAK_TF = 197e12  # v5e bf16
@@ -108,15 +109,25 @@ _B0_STAGES = [
 ]
 
 
-def effnet_b0_layers(n, img):
-    """Op list for one B0 forward, bn-fold expand (expand-conv BN folded into
-    the dot; dw/project BN stats counted as one extra read — the SE pool is
-    the same barrier so it shares that read under perfect fusion)."""
+def effnet_layers(n, img, variant="b0"):
+    """Op list for one EfficientNet forward, bn-fold expand (expand-conv BN
+    folded into the dot; dw/project BN stats counted as one extra read — the
+    SE pool is the same barrier so it shares that read under perfect fusion).
+    B1–B4 apply the package's compound scaling (width via round_filters,
+    depth via round_repeats — models/efficientnet.py:33-51)."""
+    import os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from vince_tpu.models.efficientnet import _SCALING, round_filters, round_repeats
+
+    wm, dm = _SCALING[variant]
     ops = []
     h = img // 2
-    ops.append(conv_ops(n, img, img, 3, 32, 3, 2, "stem conv3"))
-    cin = 32
-    for si, (blocks, k, stride, cout, expand) in enumerate(_B0_STAGES):
+    stem = round_filters(32, wm)
+    ops.append(conv_ops(n, img, img, 3, stem, 3, 2, "stem conv3"))
+    cin = stem
+    for si, (blocks0, k, stride, cout0, expand) in enumerate(_B0_STAGES):
+        blocks = round_repeats(blocks0, dm)
+        cout = round_filters(cout0, wm)
         for b in range(blocks):
             s = stride if b == 0 else 1
             ci = cin if b == 0 else cout
@@ -135,8 +146,11 @@ def effnet_b0_layers(n, img):
             ops.append({"name": f"s{si+1}b{b} projstat", "flops": 0,
                         "bytes": n * h * h * cout * A, "out": None})
         cin = cout
-    ops.append(conv_ops(n, h, h, 320, 1280, 1, 1, "head conv(fold)"))
-    ops[-1]["flops"] += 2 * n * h * h * 320 * 320
+    # head channels: max(1280·wm, 1280) per the package (B0/B1:1280,
+    # B2:1408, B3:1536, B4:1792)
+    head = round_filters(1280, wm) if wm > 1.0 else 1280
+    ops.append(conv_ops(n, h, h, cin, head, 1, 1, "head conv(fold)"))
+    ops[-1]["flops"] += 2 * n * h * h * cin * cin
     return ops
 
 
@@ -145,9 +159,10 @@ def main():
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     img = int(sys.argv[3]) if len(sys.argv) > 3 else 224
 
-    if "B0" in arch or "Efficient" in arch:
-        depth = "B0"
-        fwd = effnet_b0_layers(n, img)
+    m = re.search(r"[Bb]([0-4])", arch) if ("Efficient" in arch or re.match(r"^[Bb][0-4]$", arch)) else None
+    if m:
+        depth = f"B{m.group(1)}"
+        fwd = effnet_layers(n, img, variant=f"b{m.group(1)}")
     else:
         depth = 50 if "50" in arch else 18
         fwd = resnet_layers(depth, n, img)
@@ -173,7 +188,7 @@ def main():
         max(o["flops"] / PEAK_TF, o["bytes"] / PEAK_BW) for o in fwd
     ) * 4.5 * 1e3 + max(info_flops / PEAK_TF, info_bytes / PEAK_BW) * 1e3
 
-    name = "EfficientNet-B0" if depth == "B0" else f"ResNet{depth}"
+    name = f"EfficientNet-{depth}" if isinstance(depth, str) else f"ResNet{depth}"
     print(f"{name} b={n} @{img}²  (bn-fold expand, bf16)")
     print(f"  encoder fwd: {fwd_flops/1e12:.2f} TFLOP, minimal traffic {fwd_bytes/1e9:.2f} GB")
     print(f"  step totals: {flops/1e12:.2f} TFLOP, minimal traffic {bytes_/1e9:.2f} GB")

@@ -89,11 +89,13 @@ def parse_entry(hlo_text: str):
         args_str = rest if arg_end < 0 else rest[:arg_end]
         operands = re.findall(r"%[\w.\-]+", args_str.split(" calls=")[0])
         meta = _METADATA_RE.search(ln)
+        kind = re.search(r"kind=(k\w+)", ln)
         out.append({
             "name": name.lstrip("%"),
             "shape": shape_str,
             "bytes_out": shape_bytes(shape_str),
             "opcode": opcode,
+            "kind": kind.group(1) if kind else "",
             "operands": [o.lstrip("%") for o in operands],
             "op_name": meta.group(1) if meta else "",
         })
@@ -141,6 +143,27 @@ def analyze(hlo_text: str, top: int = 30):
     print(f"entry instructions: {len(instrs)}; traffic model "
           f"(operand-sum, no tile padding): read {total_read/1e9:.1f} GB + "
           f"write {total_write/1e9:.1f} GB = {(total_read+total_write)/1e9:.1f} GB")
+
+    # modeled bytes grouped by instruction class — lines up against the
+    # trace's category table (PERFORMANCE.md "Where the time goes") so the
+    # measured-minus-modeled gap can be attributed per class
+    by_class = collections.Counter()
+    n_class = collections.Counter()
+    for tot, r, w, i in rows:
+        is_convdot = ("conv" in i["op_name"] or "dot_general" in i["op_name"]
+                      or i["opcode"] in ("convolution", "dot"))
+        if i["opcode"] == "fusion":
+            cls = (f"fusion {i['kind']}"
+                   + ("/convdot" if is_convdot and i["kind"] == "kOutput" else ""))
+        elif i["opcode"] in ("copy", "copy-start", "copy-done"):
+            cls = "copy"
+        else:
+            cls = i["opcode"]
+        by_class[cls] += tot
+        n_class[cls] += 1
+    print("\n== modeled GB by instruction class ==")
+    for cls, b in by_class.most_common(12):
+        print(f"{b/1e9:8.1f}  x{n_class[cls]:5d}  {cls}")
     print(f"\n== top {top} instructions by modeled bytes ==")
     print(f"{'GB':>7} {'read':>7} {'write':>7}  {'opcode':<18} op")
     for tot, r, w, i in rows[:top]:
