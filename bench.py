@@ -16,7 +16,7 @@ The reference's single-process DataParallel would be at or below this.
 
 Env overrides: BENCH_BATCH (default 128), BENCH_STEPS (default 10),
 BENCH_BACKBONE (ResNet50), BENCH_IMAGE (224), BENCH_QUEUE (65536),
-BENCH_FUSED=1 (Pallas streaming InfoNCE kernel).
+BENCH_FUSED=1 (Pallas streaming InfoNCE kernel), BENCH_SE_KIND (mul|fold).
 """
 
 import json
@@ -122,6 +122,7 @@ def run_bench(batch: int, steps: int, backbone: str, image: int, queue_size: int
         bn_fold=os.environ.get("BENCH_BN_FOLD", "expand"),  # none|expand|all
         fold_kernel=bool(int(os.environ.get("BENCH_FOLD_KERNEL", "0"))),
         dw_kind=os.environ.get("BENCH_DW_KIND", "conv"),  # conv|tap (EfficientNet)
+        se_kind=os.environ.get("BENCH_SE_KIND", "mul"),  # mul|fold (EfficientNet)
         jitter_order=os.environ.get("BENCH_JITTER", "torchvision"),  # |fixed
     )
     mesh = make_mesh(MeshSpec(data_axis_size=n_dev, queue_axis_size=1))

@@ -318,3 +318,39 @@ def test_efficientnet_dw_tap_matches_conv():
     y1, _ = base.apply(variables, x, train=True, mutable=["batch_stats"])
     y2, _ = tap.apply(variables, x, train=True, mutable=["batch_stats"])
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=2e-4, rtol=1e-3)
+
+
+def test_efficientnet_se_fold_matches_mul():
+    """Whole-B0 parity between the elementwise SE gate and the gate folded
+    into the project conv's per-sample weights ((y.diag(s))W == y(diag(s)W);
+    se_kind must not change the param tree), including gradients."""
+    from vince_tpu.models import efficientnet
+
+    base = efficientnet.EfficientNetB0()
+    fold = efficientnet.EfficientNetB0(se_kind="fold")
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3), jnp.float32)
+    variables = base.init({"params": jax.random.PRNGKey(0)}, x, train=True)
+    assert jax.tree_util.tree_structure(
+        fold.init({"params": jax.random.PRNGKey(0)}, x, train=True)
+    ) == jax.tree_util.tree_structure(variables)
+    y1, _ = base.apply(variables, x, train=True, mutable=["batch_stats"])
+    y2, _ = fold.apply(variables, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=2e-4, rtol=1e-3)
+
+    def loss(model):
+        def f(params):
+            y, _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x, train=True, mutable=["batch_stats"],
+            )
+            return jnp.sum(y ** 2)
+        return f
+
+    g1 = jax.grad(loss(base))(variables["params"])
+    g2 = jax.grad(loss(fold))(variables["params"])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-3, rtol=5e-3
+        ),
+        g1, g2,
+    )

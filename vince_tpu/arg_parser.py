@@ -239,6 +239,14 @@ def build_parser() -> argparse.ArgumentParser:
         "negatives. Ignored by ResNet backbones.",
     )
     parser.add_argument(
+        "--se-kind", default="mul", choices=["mul", "fold"],
+        help="EfficientNet squeeze-excite application: 'mul' = elementwise "
+        "gate multiply (default); 'fold' = fold the per-sample gate into the "
+        "project conv's weights as one batched dot (Conv1x1SEFold) — the "
+        "structured attempt at the SE-pool fusion barrier; see "
+        "docs/PERFORMANCE.md for the measured verdict. Ignored by ResNets.",
+    )
+    parser.add_argument(
         "--remat", action="store_true",
         help="Rematerialize backbone residual blocks (jax.checkpoint): trades "
         "spare MXU FLOPs for HBM activation traffic; enables larger batches.",

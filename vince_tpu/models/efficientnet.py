@@ -148,6 +148,9 @@ def _tap_sum(x, w, k: int, s: int):
 
 class SqueezeExcite(nn.Module):
     reduced: int
+    # return the [n,1,1,C] gate instead of applying it — the caller folds it
+    # into the project conv's weights (se_kind="fold"); param tree unchanged
+    return_scale: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -155,7 +158,36 @@ class SqueezeExcite(nn.Module):
         s = Conv1x1(self.reduced, use_bias=True, name="reduce")(s)
         s = nn.swish(s)
         s = Conv1x1(x.shape[-1], use_bias=True, name="expand")(s)
+        if self.return_scale:
+            return nn.sigmoid(s)
         return x * nn.sigmoid(s)
+
+
+class Conv1x1SEFold(nn.Module):
+    """Project conv with the per-sample SE gate folded into its weights.
+
+    ``(y · diag(s_n)) W  ==  y · (diag(s_n) W)`` — instead of materializing
+    the gated activation (an HBM write+read of the full H·W·6C tensor when
+    XLA keeps the multiply in a separate loop fusion), scale the tiny
+    [C, F] kernel per sample (n·C·F flops) and emit ONE batched
+    ``dot_general``. Same param name/shape as ``Conv1x1`` → checkpoints and
+    torch-weight conversion are unaffected. Structured attempt at the
+    SE-pool fusion barrier (VERDICT r2 #6); keep whichever measures faster.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, scale):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (1, 1, x.shape[-1], self.features),
+            jnp.float32,
+        ).astype(x.dtype)
+        # [n, C, F] per-sample weights; batched over n, contracting C
+        w = kernel[0, 0][None, :, :] * scale[:, 0, 0, :, None].astype(x.dtype)
+        return jax.lax.dot_general(x, w, (((3,), (1,)), ((0,), (0,))))
 
 
 class MBConv(nn.Module):
@@ -170,6 +202,7 @@ class MBConv(nn.Module):
     # The project conv reduces 6C→C, where the fold costs more than it saves.
     fold_cfg: Optional[FoldCfg] = None
     dw_kind: str = "conv"  # {"conv", "tap"} — see DepthwiseConvTap
+    se_kind: str = "mul"  # {"mul", "fold"} — see Conv1x1SEFold
 
     @nn.compact
     def __call__(self, x):
@@ -194,8 +227,13 @@ class MBConv(nn.Module):
         )(y)
         y = self.norm(name="depthwise_bn")(y)
         y = nn.swish(y)
-        y = SqueezeExcite(max(1, int(in_ch * self.se_ratio)), name="se")(y)
-        y = Conv1x1(self.filters, name="project_conv")(y)
+        reduced = max(1, int(in_ch * self.se_ratio))
+        if self.se_kind == "fold":
+            gate = SqueezeExcite(reduced, return_scale=True, name="se")(y)
+            y = Conv1x1SEFold(self.filters, name="project_conv")(y, gate)
+        else:
+            y = SqueezeExcite(reduced, name="se")(y)
+            y = Conv1x1(self.filters, name="project_conv")(y)
         y = self.norm(name="project_bn")(y)
         if self.strides == 1 and in_ch == self.filters:
             y = y + x
@@ -218,6 +256,9 @@ class EfficientNet(nn.Module):
     # {"conv", "tap"}: emit depthwise convs as grouped-conv ops or as k²
     # shifted elementwise FMAs (loop fusions — see DepthwiseConvTap)
     dw_kind: str = "conv"
+    # {"mul", "fold"}: apply the SE gate as an elementwise multiply or fold
+    # it into the project conv's per-sample weights (Conv1x1SEFold)
+    se_kind: str = "mul"
 
     @property
     def output_channels(self) -> int:
@@ -264,6 +305,7 @@ class EfficientNet(nn.Module):
                     norm=norm,
                     fold_cfg=fold_cfg,
                     dw_kind=self.dw_kind,
+                    se_kind=self.se_kind,
                     name=f"block_{block_idx}",
                 )(x)
                 block_idx += 1

@@ -55,6 +55,9 @@ class VinceEncoder(nn.Module):
     # EfficientNet depthwise-conv emission: {"conv", "tap"} (see
     # efficientnet.DepthwiseConvTap — tap = k² elementwise FMAs, loop-fusable)
     dw_kind: str = "conv"
+    # EfficientNet SE application: {"mul", "fold"} (efficientnet.Conv1x1SEFold
+    # — fold the per-sample gate into the project conv's batched weights)
+    se_kind: str = "mul"
 
     def setup(self):
         backbone_cls = get_backbone(self.backbone_name)
@@ -65,6 +68,7 @@ class VinceEncoder(nn.Module):
             kwargs["fold_kernel"] = self.fold_kernel
         if "EfficientNet" in self.backbone_name:
             kwargs["dw_kind"] = self.dw_kind
+            kwargs["se_kind"] = self.se_kind
         self.backbone = backbone_cls(
             dtype=self.dtype, axis_name=self.bn_axis_name, name="backbone", **kwargs
         )

@@ -204,6 +204,7 @@ class VinceSolver(BaseSolver):
             norm_kind=getattr(args, "norm_kind", "batchnorm"),
             fold_kernel=getattr(args, "fold_kernel", False),
             dw_kind=getattr(args, "dw_kind", "conv"),
+            se_kind=getattr(args, "se_kind", "mul"),
             jitter_order=getattr(args, "jitter_order", "torchvision"),
         )
         if self.cfg.use_fused_infonce and self.cfg.embed_size % 128 != 0:

@@ -109,6 +109,9 @@ class VinceConfig:
     # --dw-kind: EfficientNet depthwise emission ("conv" grouped op | "tap"
     # k² elementwise FMAs — loop fusions that admit BN-stat fusion)
     dw_kind: str = "conv"
+    # --se-kind: EfficientNet SE application ("mul" elementwise gate | "fold"
+    # gate folded into per-sample project-conv weights — Conv1x1SEFold)
+    se_kind: str = "mul"
     # --jitter-order: ColorJitter op-order semantics. "torchvision" = exact
     # per-sample random order + HSV hue (parity default); "fixed" = round-1
     # b→c→s→hue with YIQ hue rotation (cheaper — one fewer image pass set)
@@ -167,6 +170,7 @@ def build_encoder(cfg: VinceConfig) -> VinceEncoder:
         bn_fold=cfg.bn_fold,
         fold_kernel=cfg.fold_kernel,
         dw_kind=cfg.dw_kind,
+        se_kind=cfg.se_kind,
         bn_axis_name=DATA_AXIS if cfg.sync_bn else None,
     )
 
