@@ -158,6 +158,14 @@ def export_vince_state_dict(params: Dict, batch_stats: Dict) -> Dict[str, np.nda
         # shape-driven mapping accepts back, so attention-pool checkpoints
         # round-trip JAX→torch→JAX even though dg_util's exact field names
         # can't be verified here.
+        print(
+            "torch_export note: attention-pool weights are exported under "
+            "'average_layers.attention.*' — a repo-local naming convention "
+            "(dg_util AttentionPool2D's real field names are unverifiable "
+            "offline). They round-trip through this repo's converter, but a "
+            "strict=False load into the upstream torch model will silently "
+            "ignore them; verify against dg_util on a networked host."
+        )
         pool = params["pool"]["attn_logits"]
         k = _np(pool["kernel"])  # [1, 1, C, 1]
         out["average_layers.attention.weight"] = k.transpose(3, 2, 0, 1)
