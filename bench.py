@@ -6,7 +6,17 @@ augmentation + query fwd/bwd + momentum-encoder fwd + multi-pair InfoNCE
 against the 65,536-entry queue + SGD + EMA + enqueue (the reference hot loop,
 ``vince_solver.py:386-518``, BASELINE.json north star).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "step_ms",
+"mxu_util", "config"}.
+
+Wedge-proofing (round 4): the axon tunnel can wedge mid-run with the worker
+thread blocked inside the runtime — unkillable from Python, so an in-process
+watchdog can only abort, not retry. The measured section therefore runs in a
+KILLABLE SUBPROCESS (``BENCH_INNER=1`` re-entry): the parent enforces the
+per-attempt timeout, kills a wedged child, re-probes the backend, and retries
+once (the persistent compile cache makes the retry cheap). The child streams
+progress breadcrumbs (backend_up / compile_done / steps_done) to a file so a
+wedge is diagnosable from the error record.
 
 vs_baseline: the reference publishes no throughput numbers (SURVEY.md §6). We
 normalize against a documented estimate of the reference stack's per-GPU rate:
@@ -16,51 +26,43 @@ The reference's single-process DataParallel would be at or below this.
 
 Env overrides: BENCH_BATCH (default 128), BENCH_STEPS (default 10),
 BENCH_BACKBONE (ResNet50), BENCH_IMAGE (224), BENCH_QUEUE (65536),
-BENCH_FUSED=1 (Pallas streaming InfoNCE kernel), BENCH_SE_KIND (mul|fold).
+BENCH_FUSED=1 (Pallas streaming InfoNCE kernel), BENCH_SE_KIND (mul|fold),
+BENCH_TIMEOUT (per-attempt compute budget, s), BENCH_TUNNEL_WAIT (pre-flight),
+BENCH_RETRIES (extra attempts after the first, default 1),
+BENCH_XLA_FLAGS (extra compiler options, comma-separated k=v — see
+tools/exp_compiler_flags.py).
 """
 
 import json
 import os
+import subprocess
 import sys
-import threading
+import tempfile
 import time
 
 import numpy as np
 
 REFERENCE_BASELINE_FPS_PER_CHIP = 167.0
+METRIC = "vince_pretrain_frames_per_sec_per_chip_rn50"
 
 
-def _start_watchdog(timeout_s: float) -> threading.Timer:
-    """The axon tunnel can wedge (observed: jax.devices() blocking forever).
-    A hung bench is worse than a failed one — emit a diagnostic JSON line and
-    exit instead of hanging the driver. Normal runs (compile ~40 s + 10 steps)
-    finish far inside the default; BENCH_TIMEOUT overrides."""
-
-    def fire():
-        print(json.dumps({
-            "metric": "vince_pretrain_frames_per_sec_per_chip_rn50",
-            "value": 0.0,
-            "unit": "frames/s/chip",
-            "vs_baseline": 0.0,
-            "error": f"bench did not complete within {timeout_s:.0f}s "
-                     "(TPU tunnel down or backend init hung)",
-        }))
-        sys.stdout.flush()
-        os._exit(17)
-
-    timer = threading.Timer(timeout_s, fire)
-    timer.daemon = True
-    timer.start()
-    return timer
+def _emit_error(msg: str, progress: dict) -> None:
+    print(json.dumps({
+        "metric": METRIC,
+        "value": 0.0,
+        "unit": "frames/s/chip",
+        "vs_baseline": 0.0,
+        "error": msg,
+        "progress": progress,
+    }))
+    sys.stdout.flush()
 
 
 def _wait_for_backend(max_wait_s: float) -> bool:
     """The axon tunnel can wedge for stretches (observed: ``jax.devices()``
     blocking indefinitely in-process, unkillable from Python). Probe it in a
-    killable subprocess and wait for recovery before spending the watchdog
+    killable subprocess and wait for recovery before spending the compute
     budget on a doomed run. Returns False if it never comes up."""
-    import subprocess
-
     deadline = time.time() + max_wait_s
     attempt = 0
     while True:
@@ -81,11 +83,93 @@ def _wait_for_backend(max_wait_s: float) -> bool:
         time.sleep(30)
 
 
-def run_bench(batch: int, steps: int, backbone: str, image: int, queue_size: int):
+def _read_progress(path: str) -> dict:
+    """Best-effort read of the child's breadcrumb file (one JSON obj/line)."""
+    progress = {}
+    try:
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    progress.update(json.loads(line))
+    except (OSError, ValueError):
+        pass
+    return progress
+
+
+def run_with_retry(child_cmd, timeout_s: float, retries: int,
+                   progress_path: str, probe=None, env=None):
+    """Run ``child_cmd`` (expected to print one JSON result line on stdout),
+    killing and retrying on timeout/failure. Returns the parsed result dict or
+    None after all attempts fail. ``probe`` (callable -> bool) gates each
+    retry — a wedged tunnel gets time to recover before the budget is spent.
+
+    Factored out so tests can drive the retry logic with a stub child command
+    (tests/test_bench_retry.py) without touching a TPU.
+    """
+    last_err = "unknown"
+    for attempt in range(1 + retries):
+        if attempt > 0:
+            print(f"# bench attempt {attempt} retrying after: {last_err}",
+                  file=sys.stderr)
+            if probe is not None and not probe():
+                last_err += "; backend never recovered for retry"
+                break
+        try:
+            res = subprocess.run(
+                child_cmd, timeout=timeout_s, capture_output=True, text=True,
+                env=env,
+            )
+        except subprocess.TimeoutExpired as e:
+            # subprocess.run kills the wedged child on timeout; record how
+            # far it got (breadcrumbs stay in the progress file)
+            last_err = f"attempt {attempt}: no result within {timeout_s:.0f}s"
+            err = e.stderr
+            if isinstance(err, bytes):
+                err = err.decode(errors="replace")
+            sys.stderr.write((err or "")[-2000:])
+            continue
+        sys.stderr.write(res.stderr[-4000:] if res.stderr else "")
+        if res.returncode != 0:
+            tail = (res.stderr or "").strip().splitlines()[-1:]
+            last_err = (f"attempt {attempt}: child exited rc={res.returncode}"
+                        + (f": {tail[0]}" if tail else ""))
+            continue
+        for line in reversed(res.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    return json.loads(line)
+                except ValueError:
+                    break
+        last_err = f"attempt {attempt}: child produced no JSON result line"
+    progress = _read_progress(progress_path)
+    progress["last_error"] = last_err
+    return {"_failed": True, "progress": progress}
+
+
+def _progress_writer(path: str):
+    def write(**kv):
+        try:
+            with open(path, "a") as f:
+                f.write(json.dumps(kv) + "\n")
+                f.flush()
+        except OSError:
+            pass
+    return write
+
+
+def run_bench(batch: int, steps: int, backbone: str, image: int,
+              queue_size: int, note):
     import jax
     import jax.numpy as jnp
     import optax
 
+    # Like the CLI's --platform: the sandbox sitecustomize force-registers the
+    # axon TPU platform after import, so the env var alone can't select CPU
+    # (tests/test_bench_retry.py uses this to smoke the inner path off-chip).
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax"))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -128,11 +212,18 @@ def run_bench(batch: int, steps: int, backbone: str, image: int, queue_size: int
     mesh = make_mesh(MeshSpec(data_axis_size=n_dev, queue_axis_size=1))
     optimizer = optax.chain(optax.add_decayed_weights(1e-4), optax.sgd(0.03, momentum=0.9))
 
+    note(backend_up=True, n_devices=len(jax.devices()))
+
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         state = init_vince_state(jax.random.PRNGKey(0), cfg, optimizer)
     state = shard_state(state, mesh)
-    step_fn = make_train_step(cfg, optimizer, mesh)
+    compiler_options = None
+    if os.environ.get("BENCH_XLA_FLAGS"):
+        compiler_options = dict(
+            kv.split("=", 1) for kv in os.environ["BENCH_XLA_FLAGS"].split(",") if kv
+        )
+    step_fn = make_train_step(cfg, optimizer, mesh, compiler_options=compiler_options)
 
     canvas = int(image / 0.875)
     rng = np.random.RandomState(0)
@@ -156,6 +247,7 @@ def run_bench(batch: int, steps: int, backbone: str, image: int, queue_size: int
     state, metrics = step_fn(state, batch_dev, key)
     loss = fetch_loss(metrics)
     compile_s = time.time() - t0
+    note(compile_done=True, compile_s=round(compile_s, 1))
     state, metrics = step_fn(state, batch_dev, key)
     fetch_loss(metrics)
 
@@ -170,6 +262,7 @@ def run_bench(batch: int, steps: int, backbone: str, image: int, queue_size: int
         state, metrics = step_fn(state, batch_dev, key)
     loss = fetch_loss(metrics)  # forces the whole chain
     dt = max(time.time() - t0 - rt, 1e-9)
+    note(steps_done=steps)
 
     fps = batch * steps / dt
     # sanity vs physics: frames/s must be below the chip's bf16 peak budget
@@ -181,41 +274,29 @@ def run_bench(batch: int, steps: int, backbone: str, image: int, queue_size: int
     assert fps < peak_fps, f"non-physical timing: {fps:.0f} fps > peak {peak_fps:.0f}"
     assert np.isfinite(loss), "non-finite loss in bench step"
     mxu = fps * flops_per_frame / 197e12
+    step_ms = dt / steps * 1000
     print(
         f"# bench: {backbone} b={batch} img={image} q={queue_size} "
-        f"step={dt/steps*1000:.1f}ms compile={compile_s:.0f}s loss={loss:.3f} "
+        f"step={step_ms:.1f}ms compile={compile_s:.0f}s loss={loss:.3f} "
         f"~mxu_util={mxu:.2f}",
         file=sys.stderr,
     )
-    return fps
+    return {"fps": fps, "step_ms": step_ms, "mxu_util": mxu,
+            "compile_s": compile_s, "loss": loss}
 
 
-def main():
+def inner_main():
+    """Child process: run the measured section and print one JSON line."""
     batch = int(os.environ.get("BENCH_BATCH", 128))
     steps = int(os.environ.get("BENCH_STEPS", 10))
     backbone = os.environ.get("BENCH_BACKBONE", "ResNet50")
     image = int(os.environ.get("BENCH_IMAGE", 224))
     queue_size = int(os.environ.get("BENCH_QUEUE", 65536))
-
-    # Observed tunnel wedges last tens of minutes to hours; the compute
-    # watchdog (BENCH_TIMEOUT) only starts once the backend answers, so a
-    # long pre-flight wait costs nothing when the tunnel is healthy.
-    if not _wait_for_backend(float(os.environ.get("BENCH_TUNNEL_WAIT", 2400))):
-        print(json.dumps({
-            "metric": "vince_pretrain_frames_per_sec_per_chip_rn50",
-            "value": 0.0,
-            "unit": "frames/s/chip",
-            "vs_baseline": 0.0,
-            "error": "JAX backend never initialized within BENCH_TUNNEL_WAIT "
-                     "(TPU tunnel down)",
-        }))
-        sys.exit(17)
-
-    watchdog = _start_watchdog(float(os.environ.get("BENCH_TIMEOUT", 1500)))
+    note = _progress_writer(os.environ.get("BENCH_PROGRESS_FILE", os.devnull))
 
     requested_batch = batch
     try:
-        fps = run_bench(batch, steps, backbone, image, queue_size)
+        r = run_bench(batch, steps, backbone, image, queue_size, note)
     except Exception as e:
         # OOM fallback ONLY — anything else (shape bug, NaN loss, non-physical
         # timing assert) must fail loudly, not get laundered into a
@@ -224,17 +305,71 @@ def main():
             raise
         print(f"# bench OOM at b={batch}; retrying b={batch//2}", file=sys.stderr)
         batch //= 2
-        fps = run_bench(batch, steps, backbone, image, queue_size)
-    watchdog.cancel()
+        r = run_bench(batch, steps, backbone, image, queue_size, note)
 
     result = {
-        "metric": "vince_pretrain_frames_per_sec_per_chip_rn50",
-        "value": round(fps, 2),
+        "metric": METRIC,
+        "value": round(r["fps"], 2),
         "unit": "frames/s/chip",
-        "vs_baseline": round(fps / REFERENCE_BASELINE_FPS_PER_CHIP, 3),
+        "vs_baseline": round(r["fps"] / REFERENCE_BASELINE_FPS_PER_CHIP, 3),
+        "step_ms": round(r["step_ms"], 2),
+        "mxu_util": round(r["mxu_util"], 3),
+        "compile_s": round(r["compile_s"], 1),
+        "config": {
+            "backbone": backbone, "batch": batch, "image": image,
+            "queue_size": queue_size, "steps": steps,
+            "fused_infonce": bool(int(os.environ.get("BENCH_FUSED", "0"))),
+            "dtype": "bfloat16",
+        },
     }
     if batch != requested_batch:
         result["batch"] = batch  # flag that the OOM fallback changed the config
+    print(json.dumps(result))
+
+
+def main():
+    if os.environ.get("BENCH_INNER") == "1":
+        inner_main()
+        return
+
+    # Observed tunnel wedges last tens of minutes to hours; the compute
+    # budget only starts once the backend answers, so a long pre-flight wait
+    # costs nothing when the tunnel is healthy.
+    tunnel_wait = float(os.environ.get("BENCH_TUNNEL_WAIT", 2400))
+    if not _wait_for_backend(tunnel_wait):
+        _emit_error("JAX backend never initialized within BENCH_TUNNEL_WAIT "
+                    "(TPU tunnel down)", {})
+        sys.exit(17)
+
+    timeout_s = float(os.environ.get("BENCH_TIMEOUT", 1500))
+    retries = int(os.environ.get("BENCH_RETRIES", 1))
+    with tempfile.NamedTemporaryFile(mode="w", suffix=".bench_progress",
+                                     delete=False) as f:
+        progress_path = f.name
+    env = dict(os.environ, BENCH_INNER="1", BENCH_PROGRESS_FILE=progress_path)
+    child_cmd = [sys.executable, os.path.abspath(__file__)]
+
+    def probe():
+        return _wait_for_backend(min(tunnel_wait, 600))
+
+    result = run_with_retry(
+        child_cmd, timeout_s, retries, progress_path, probe=probe, env=env,
+    )
+    if result.get("_failed"):
+        _emit_error(
+            f"bench did not complete within {timeout_s:.0f}s/attempt "
+            f"({1 + retries} attempts; TPU tunnel wedge?)",
+            result.get("progress", {}),
+        )
+        try:
+            os.unlink(progress_path)
+        except OSError:
+            pass
+        sys.exit(17)
+    try:
+        os.unlink(progress_path)
+    except OSError:
+        pass
     print(json.dumps(result))
 
 

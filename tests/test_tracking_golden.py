@@ -134,6 +134,29 @@ def test_otb_layout_plumbing(tmp_path):
     assert 0.0 <= results["success"] <= 1.0
     assert results["precision"] > 0.5
     assert os.path.exists(tmp_path / "results" / "gt_echo.json")
+    # real OTB data must NOT carry the synthetic-fallback tag
+    assert "synthetic" not in results
+
+
+def test_synthetic_fallback_is_tagged(tmp_path):
+    """When OTB data is absent, ExperimentOTB substitutes synthetic smoke
+    sequences — the result dict must say so (VERDICT r3 weak #6: a downstream
+    consumer must never log a fake 'OTB' precision as real)."""
+    from vince_tpu.tracking.experiments import ExperimentOTB
+    from vince_tpu.tracking.sequences import SyntheticSequences
+
+    class GTTracker:
+        name = "gt_echo_syn"
+
+        def track(self, img_files, box):
+            n = len(img_files)
+            return np.tile(np.asarray(box, np.float64), (n, 1)), np.full(n, 1e-3)
+
+    exp = ExperimentOTB(None, result_dir=str(tmp_path / "results"))
+    assert isinstance(exp.sequences, SyntheticSequences)
+    results = exp.run(GTTracker())
+    assert results["synthetic"] is True
+    assert results["num_sequences"] == len(exp.sequences)
 
 
 if __name__ == "__main__":

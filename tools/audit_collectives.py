@@ -200,6 +200,28 @@ def summarize(colls):
     return agg, bytes_agg
 
 
+def compare_shuffle_modes(md: int, mq: int, batch: int, image: int,
+                          qsize: int, backbone: str):
+    """Measure TOTAL per-step collective traffic in gather vs a2a shuffled-BN
+    mode on the same geometry (VERDICT r3 item 8: the a2a path's 1/d
+    interconnect claim was analytic — this closes the loop on compiled HLO).
+    Returns {mode: {"total_mb", "per_op": rows}}; a2a must move less."""
+    out = {}
+    for mode in ("gather", "a2a"):
+        cfg, colls, _, _, _ = audit(md, mq, batch, image, qsize, backbone, mode)
+        agg, bytes_agg = summarize(colls)
+        total = sum(bytes_agg.values())
+        out[mode] = {
+            "total_mb": round(total / 1e6, 3),
+            "per_op": [
+                {"op": op, "axis": axis, "count": agg[(op, axis)],
+                 "mbytes": round(bytes_agg[(op, axis)] / 1e6, 3)}
+                for (op, axis) in sorted(agg)
+            ],
+        }
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
@@ -207,7 +229,30 @@ def main():
     ap.add_argument("--json", default="")
     ap.add_argument("--shuffle-mode", default="gather", choices=["gather", "a2a"])
     ap.add_argument("--meshes", default="8x1,4x2,2x4")
+    ap.add_argument("--compare-shuffle-modes", action="store_true",
+                    help="run BOTH shuffle modes per mesh and report the "
+                         "total-traffic delta (SCALING.md numbers)")
     args = ap.parse_args()
+
+    if args.compare_shuffle_modes:
+        if args.quick:
+            batch, image, qsize, backbone = 8, 64, 1024, "ResNet18"
+        else:
+            batch, image, qsize, backbone = 128, 224, 65536, "ResNet50"
+        results = {}
+        for mesh_str in args.meshes.split(","):
+            md, mq = (int(x) for x in mesh_str.split("x"))
+            cmp = compare_shuffle_modes(md, mq, batch, image, qsize, backbone)
+            g, a = cmp["gather"]["total_mb"], cmp["a2a"]["total_mb"]
+            print(f"mesh {md}x{mq}: gather {g:.1f} MB/step vs a2a {a:.1f} "
+                  f"MB/step  (a2a = {a / g:.3f}x)   [CPU-HLO f32 bytes = 2x "
+                  f"the on-chip bf16 numbers; ratios transfer]")
+            results[mesh_str] = cmp
+        if args.json:
+            with open(args.json, "w") as f:
+                json.dump(results, f, indent=1)
+            print(f"wrote {args.json}")
+        return
 
     if args.quick:
         batch, image, qsize, backbone = 8, 64, 1024, "ResNet18"

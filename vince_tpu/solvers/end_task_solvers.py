@@ -515,10 +515,15 @@ class EndTaskTrackingSolver(EndTaskBaseSolver):
         root = os.path.join(self.args.data_path, "otb100") if self.args.data_path else None
         experiment = ExperimentOTB(root)
         results = experiment.run(tracker)
-        print("OTB results:", results)
+        if results.get("synthetic"):
+            print("OTB results (SYNTHETIC smoke fallback — not a real OTB "
+                  "score):", results)
+        else:
+            print("OTB results:", results)
         if self.val_logger is not None:
             self.val_logger.dict_log(
-                {f"epoch/{self.full_name}/otb_{k}": v for k, v in results.items()},
+                {f"epoch/{self.full_name}/otb_{k}": float(v)
+                 for k, v in results.items()},
                 self.iteration,
             )
         if multihost.is_multiprocess():

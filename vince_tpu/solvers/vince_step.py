@@ -521,11 +521,16 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     mesh,
     jigsaw_side: Optional[str] = None,
+    compiler_options: Optional[dict] = None,
 ):
-    """Jitted train step; `make_train_step_fn` returns the unjitted callable
-    (for `.lower().compile(compiler_options=...)` experiments)."""
+    """Jitted train step; `make_train_step_fn` returns the unjitted callable.
+
+    ``compiler_options`` passes xla_tpu_* overrides straight to the compiler
+    (swept in tools/exp_compiler_flags.py; BENCH_XLA_FLAGS in bench.py)."""
     return jax.jit(
-        make_train_step_fn(cfg, optimizer, mesh, jigsaw_side), donate_argnums=(0,)
+        make_train_step_fn(cfg, optimizer, mesh, jigsaw_side),
+        donate_argnums=(0,),
+        compiler_options=compiler_options,
     )
 
 

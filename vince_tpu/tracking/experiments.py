@@ -94,6 +94,11 @@ class ExperimentOTB:
             "success": float(np.mean([s["success_auc"] for s in per_seq.values()])),
             "speed_fps": float(np.mean([s["fps"] for s in per_seq.values()])),
         }
+        if isinstance(self.sequences, SyntheticSequences):
+            # the smoke fallback must never be mistaken for a real OTB score
+            # downstream (logs, reports): tag it loudly.
+            results["synthetic"] = True
+            results["num_sequences"] = len(self.sequences)
         with open(os.path.join(self.result_dir, f"{tracker.name}.json"), "w") as f:
             json.dump({"overall": results, "per_sequence": per_seq}, f, indent=2)
         return results
