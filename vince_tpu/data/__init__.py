@@ -8,6 +8,7 @@ from vince_tpu.data.r2v2_dataset import GOT10KR2V2Dataset, R2V2Dataset
 from vince_tpu.data.synthetic_dataset import (
     SyntheticClipDataset,
     SyntheticImageDataset,
+    SyntheticTextureVideoDataset,
     SyntheticVideoDataset,
 )
 
@@ -22,6 +23,7 @@ __all__ = [
     "SunSceneDataset",
     "VideoCacherDataset",
     "SyntheticVideoDataset",
+    "SyntheticTextureVideoDataset",
     "SyntheticImageDataset",
     "SyntheticClipDataset",
 ]

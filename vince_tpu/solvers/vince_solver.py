@@ -64,7 +64,7 @@ class VinceSolver(BaseSolver):
         kwargs = {}
         if name in ("R2V2Dataset", "GOT10KR2V2Dataset"):
             kwargs["num_images_to_return"] = self.args.num_frames
-        if name == "SyntheticVideoDataset":
+        if name in ("SyntheticVideoDataset", "SyntheticTextureVideoDataset"):
             kwargs["num_videos"] = getattr(self.args, "synthetic_num_videos", 512)
             kwargs["num_images_to_return"] = self.args.num_frames
         return cls(self.args, subset, **kwargs)
