@@ -40,6 +40,8 @@ def main():
     ap.add_argument("--embed", type=int, default=32)
     ap.add_argument("--lr", type=float, default=0.01)
     ap.add_argument("--momentum", type=float, default=0.99)
+    ap.add_argument("--tau", type=float, default=0.07,
+                    help="InfoNCE temperature (higher = softer, anti-collapse)")
     ap.add_argument("--log-every", type=int, default=50)
     ap.add_argument("--out", type=str, default="docs/jigsaw_soak_r4.json")
     ap.add_argument("--platform", type=str, default=None)
@@ -78,7 +80,7 @@ def main():
         embed_size=args.embed,
         image_size=args.image,
         queue_size=args.queue,
-        temperature=0.07,
+        temperature=args.tau,
         momentum=args.momentum,
         jigsaw=not args.plain,
         inter_batch=True,
@@ -112,7 +114,8 @@ def main():
 
     dev = jax.devices()[0]
     rs2 = np.random.RandomState(0)
-    curve = {"step": [], "nce_accuracy": [], "nce_loss": []}
+    curve = {"step": [], "nce_accuracy": [], "nce_loss": [],
+             "cosine_sim": [], "cosine_sim_neg_max": []}
     acc_window = []
     t0 = time.time()
     for i in range(args.steps):
@@ -131,6 +134,12 @@ def main():
             curve["step"].append(i)
             curve["nce_accuracy"].append(round(acc, 4))
             curve["nce_loss"].append(round(loss, 4))
+            # collapse diagnostics: cosine_sim→1 with neg_max→1 means the
+            # encoder maps everything to one point (loss pins at ln(Q+B))
+            for mk in ("cosine_sim", "cosine_sim_neg_max"):
+                if mk in metrics:
+                    curve[mk].append(
+                        round(float(np.asarray(jax.device_get(metrics[mk]))), 4))
             acc_window.append(acc)
             rate = (i + 1) / (time.time() - t0)
             print(f"step {i:6d}  acc={acc:.4f}  loss={loss:.4f}  "
@@ -144,7 +153,7 @@ def main():
         "mode": "plain" if args.plain else "jigsaw",
         "config": {k: getattr(args, k) for k in
                    ("steps", "batch", "num_ids", "image", "queue", "embed",
-                    "lr", "momentum")},
+                    "lr", "momentum", "tau")},
         "mesh": f"{md}x{mq}",
         "platform": jax.devices()[0].platform,
         # argmax-over-candidates accuracy; with untrained/tied embeddings it
