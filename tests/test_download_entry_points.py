@@ -136,8 +136,10 @@ def test_extract_drive_id_url_shapes():
 
 
 def test_bench_loader_cache_feeds_r2v2_dataset(tmp_path):
-    """tools/bench_loader fabricates a layout-correct R2V2 shard tree."""
-    from tools.bench_loader import FRAMES_PER_VIDEO, make_cache
+    """tools/bench_host_loader fabricates a layout-correct R2V2 shard tree
+    (was tools/bench_loader until round 3 reused that name for the staging
+    bench — this import breaking is how the overwrite was caught)."""
+    from tools.bench_host_loader import FRAMES_PER_VIDEO, make_cache
     from vince_tpu.data.r2v2_dataset import R2V2Dataset
 
     make_cache(str(tmp_path), num_videos=3)

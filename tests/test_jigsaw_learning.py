@@ -36,6 +36,17 @@ plus bounded full-path evidence:
    steps (lr 0.01; lr 0.05 collapses — anisotropic argmax pins accuracy at
    exactly 1/16, the tie artifact the pool-size note below explains).
 
+Round-4 long-horizon chip soaks settle the "PIRL-horizon" hypothesis with a
+controlled negative (docs/jigsaw_{soak,plain,best}_r4.json, STATUS.md):
+at the round-3 config (lr 0.01, m 0.99, b 32) BOTH paths collapse (jigsaw to
+exactly uniform softmax, plain to the 1/batch tie-pin), so that config proves
+nothing; at a config where the PLAIN path demonstrably sustains (lr 0.003,
+m 0.999 → 0.58 acc in 4k steps), 16k jigsaw steps optimize the loss to well
+below uniform but never separate the positive from the hardest negative
+(cosine_sim ≈ cosine_sim_neg_max, acc ≤ 1/batch). The jigsaw mechanism is
+proven here at head level; the full-path objective needs PIRL's real-data
+scale to pay off, and at toy scale its measured value is null.
+
 The identity pool must be ≫ the 512-entry queue: with a small pool the bank
 fills with stale key copies of the SAME identities, each an exact-tie
 "negative" the positive cannot beat (``sims > neg_max`` is strict) —
