@@ -93,14 +93,16 @@ def main(argv=None):
     hits = (nn // f) == (np.arange(n * f) // f)
     acc = float(hits.mean())
     chance = (f - 1) / (n * f - 1)
-    restored = solver.iteration > 0
+    # raw optimizer step, not solver.iteration (= samples scaled by THIS
+    # run's batch size, misleading when eval batch != training batch)
+    step = int(np.asarray(jax.device_get(solver.state.step)))
     print(f"{args.dataset} {args.retrieval_subset}: retrieval@1 = {acc:.4f} "
           f"(chance {chance:.4f}, {n} unseen videos x {f} frames, "
-          f"{'step ' + str(solver.iteration) if restored else 'random-init'})")
+          f"{'step ' + str(step) if step else 'random-init'})")
     result = {
         "retrieval_at_1": round(acc, 4), "chance": round(chance, 4),
         "num_videos": n, "frames": f, "dataset": args.dataset,
-        "subset": args.retrieval_subset, "restored_step": int(solver.iteration),
+        "subset": args.retrieval_subset, "restored_step": step,
     }
     print(json.dumps(result))
     return result
