@@ -239,6 +239,14 @@ def _np_jitter_one(img, order, fb, fc, fs, fh):
 
 
 def test_color_jitter_matches_numpy_oracle():
+    """Fused jitter vs a SELF-AUTHORED numpy oracle of torchvision semantics.
+
+    torchvision is not installed in this sandbox, so the oracle above encodes
+    our *reading* of ColorJitter.forward (per-sample op order, blend-based
+    brightness/contrast/saturation, exact HSV hue) — not the library itself.
+    Verify against real torchvision on the first networked host:
+    docs/NETWORKED_TODO.md item 2.
+    """
     from itertools import permutations
 
     from vince_tpu.ops.augment import color_jitter_apply

@@ -175,6 +175,15 @@ def test_jigsaw_step_variants(cpu_devices):
         state2, metrics = step(state, batch, jax.random.PRNGKey(1))
         assert np.isfinite(float(jax.device_get(metrics["loss/nce_loss"]))), side
 
+    # diagnostic controls (tools/soak_jigsaw.py): jigsaw on BOTH sides (same
+    # head both encoders) with identity perms — compiles and runs on the mesh
+    import dataclasses
+    cfg_ctl = dataclasses.replace(cfg, jigsaw_identity_perms=True)
+    state = shard_state(init_vince_state(jax.random.PRNGKey(0), cfg_ctl, opt), mesh)
+    step = make_train_step(cfg_ctl, opt, mesh, jigsaw_side="both")
+    _, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(jax.device_get(metrics["loss/nce_loss"])))
+
 
 def test_attention_pool_step(cpu_devices):
     """--use-attention config through the full mesh step."""

@@ -49,7 +49,17 @@ def main():
                     help="control run: same task through the PLAIN (no-jigsaw) "
                          "path — separates task difficulty from the jigsaw "
                          "objective")
+    ap.add_argument("--identity-perms", action="store_true",
+                    help="control run: full jigsaw path but perm = identity — "
+                         "isolates permutation-invariance difficulty from the "
+                         "patchify/head/cross-head-alignment pipeline")
+    ap.add_argument("--both-sides", action="store_true",
+                    help="control run: jigsaw BOTH query and key (same head on "
+                         "both sides, like the plain path) — isolates the "
+                         "cross-head (plain-embedding vs jigsaw-head) alignment "
+                         "difficulty of the reference's 50/50 alternation")
     args = ap.parse_args()
+    assert not (args.plain and (args.identity_perms or args.both_sides))
 
     import jax
     if args.platform:
@@ -83,6 +93,7 @@ def main():
         temperature=args.tau,
         momentum=args.momentum,
         jigsaw=not args.plain,
+        jigsaw_identity_perms=args.identity_perms,
         inter_batch=True,
         data_axis_size=md,
         queue_axis_size=mq,
@@ -97,6 +108,8 @@ def main():
     state = shard_state(state, mesh)
     if args.plain:
         steps = {"plain": make_train_step(cfg, opt, mesh)}
+    elif args.both_sides:
+        steps = {"both": make_train_step(cfg, opt, mesh, jigsaw_side="both")}
     else:
         steps = {
             "query": make_train_step(cfg, opt, mesh, jigsaw_side="query"),
@@ -112,7 +125,10 @@ def main():
     canvases = np.repeat(np.repeat(colors, cell, axis=1), cell, axis=2)
     canvases = canvases[:, :canvas, :canvas, :]
 
-    dev = jax.devices()[0]
+    # batch rows shard over the data axis (replicated over queue axis) —
+    # device_put to a single device breaks on multi-device smoke meshes
+    batch_sharding = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("data"))
     rs2 = np.random.RandomState(0)
     curve = {"step": [], "nce_accuracy": [], "nce_loss": [],
              "cosine_sim": [], "cosine_sim_neg_max": []}
@@ -120,10 +136,12 @@ def main():
     t0 = time.time()
     for i in range(args.steps):
         ids = rs2.choice(args.num_ids, args.batch, replace=False)
-        imgs = jax.device_put(canvases[ids], dev)
+        imgs = jax.device_put(canvases[ids], batch_sharding)
         batch = ({"data": imgs, "queue_data": imgs},)
         if args.plain:
             fn = steps["plain"]
+        elif args.both_sides:
+            fn = steps["both"]
         else:
             # reference vince_solver.py:397-403: 50/50 which side is jigsawed
             fn = steps["query"] if i % 2 else steps["key"]
@@ -149,8 +167,12 @@ def main():
                 break
 
     n = max(len(acc_window) // 10, 1)
+    mode = ("plain" if args.plain else
+            "jigsaw_both_sides" if args.both_sides else "jigsaw")
+    if args.identity_perms:
+        mode += "+identity_perms"
     summary = {
-        "mode": "plain" if args.plain else "jigsaw",
+        "mode": mode,
         "config": {k: getattr(args, k) for k in
                    ("steps", "batch", "num_ids", "image", "queue", "embed",
                     "lr", "momentum", "tau")},

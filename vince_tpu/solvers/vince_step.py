@@ -116,6 +116,11 @@ class VinceConfig:
     # per-sample random order + HSV hue (parity default); "fixed" = round-1
     # b→c→s→hue with YIQ hue rotation (cheaper — one fewer image pass set)
     jitter_order: str = "torchvision"
+    # Diagnostic control (tools/soak_jigsaw.py --identity-perms): run the full
+    # jigsaw path (patchify → per-patch backbone → JigsawHeads) but with the
+    # identity permutation — isolates permutation-invariance difficulty from
+    # the rest of the jigsaw pipeline. Never used in production configs.
+    jigsaw_identity_perms: bool = False
 
     @property
     def total_batch(self) -> int:
@@ -329,7 +334,7 @@ def make_train_step_fn(
     cfg: VinceConfig,
     optimizer: optax.GradientTransformation,
     mesh,
-    jigsaw_side: Optional[str] = None,  # None | "query" | "key"
+    jigsaw_side: Optional[str] = None,  # None | "query" | "key" | "both"
 ):
     """Build the shard_map'ped train step: (state, batch, rng) →
     (state', metrics). ``batch`` is a tuple of per-source dicts with uint8
@@ -346,7 +351,10 @@ def make_train_step_fn(
         variables = {"params": params, "batch_stats": batch_stats}
         if jigsaw:
             n = images.shape[0]
-            perms = random_jigsaw_perms(rng, n)
+            if cfg.jigsaw_identity_perms:  # diagnostic control, see VinceConfig
+                perms = jnp.tile(jnp.arange(9, dtype=jnp.int32)[None], (n, 1))
+            else:
+                perms = random_jigsaw_perms(rng, n)
             patches = jigsaw_patchify(images)
             out, mut = model.apply(
                 variables, patches, train=train, jigsaw=True, jigsaw_perm=perms,
@@ -377,7 +385,7 @@ def make_train_step_fn(
             # fold d_idx: jigsaw perms must be per-sample ACROSS devices
             # (reference vince_model.py:166), not repeated on every shard
             jax.random.fold_in(jax.random.fold_in(step_rng, 2), d_idx),
-            jigsaw=(jigsaw_side == "key"),
+            jigsaw=(jigsaw_side in ("key", "both")),
         )
         k_emb_local = lax.stop_gradient(k_out["embeddings"].astype(jnp.float32))
         if cfg.shuffle_bn:
@@ -402,7 +410,7 @@ def make_train_step_fn(
                 state.batch_stats,
                 q_all,
                 jax.random.fold_in(jax.random.fold_in(step_rng, 3), d_idx),
-                jigsaw=(jigsaw_side == "query"),
+                jigsaw=(jigsaw_side in ("query", "both")),
             )
             q_emb = out["embeddings"].astype(jnp.float32)
             q_sources = _split_sources(cfg, q_emb)
