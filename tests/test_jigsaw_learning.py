@@ -47,6 +47,16 @@ below uniform but never separate the positive from the hardest negative
 proven here at head level; the full-path objective needs PIRL's real-data
 scale to pay off, and at toy scale its measured value is null.
 
+A second control session pinpoints WHICH ingredient blocks toy-scale
+learning (docs/jigsaw_{idperm,both,both_idperm}_r4.json, STATUS.md): with
+the jigsaw head on BOTH sides and identity perms the path matches plain
+exactly (0.59 vs 0.58 in 4k steps — the patchify/per-patch-backbone/head
+pipeline costs nothing); both-sides with random perms still learns (0.35);
+but the reference's 50/50 alternation stays near chance EVEN WITH identity
+perms (0.012). The blocker is the cross-head alignment of the alternating
+scheme (jigsaw-head embedding scored against the plain embedding), not
+permutation invariance.
+
 The identity pool must be ≫ the 512-entry queue: with a small pool the bank
 fills with stale key copies of the SAME identities, each an exact-tie
 "negative" the positive cannot beat (``sims > neg_max`` is strict) —
