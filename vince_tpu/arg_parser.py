@@ -75,6 +75,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--end-task-classifier-num-classes", default=0, type=int)
     parser.add_argument("--use-attention", action="store_true")
     parser.add_argument("--jigsaw", action="store_true")
+    # Beyond the reference: which encoder(s) get the jigsaw head each step.
+    # "alternate" = reference parity (vince_solver.py:397-403, 50/50 per step);
+    # "both" = jigsaw head on query AND key — measured to learn identity NCE
+    # at short horizons where the alternating scheme stays at chance
+    # (docs/jigsaw_both_r4.json 0.35 vs ≤1/batch; STATUS.md jigsaw table).
+    parser.add_argument("--jigsaw-sides", default="alternate",
+                        choices=("alternate", "both"))
     parser.add_argument("--freeze-feature-extractor", action="store_true")
 
     # Loss args (:91-101)

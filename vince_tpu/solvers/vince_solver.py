@@ -281,8 +281,13 @@ class VinceSolver(BaseSolver):
         self.state = shard_state(state, self.mesh)
         self.train_step = make_train_step(self.cfg, self.optimizer, self.mesh)
         if self.cfg.jigsaw:
-            self.train_step_jigsaw_q = make_train_step(self.cfg, self.optimizer, self.mesh, jigsaw_side="query")
-            self.train_step_jigsaw_k = make_train_step(self.cfg, self.optimizer, self.mesh, jigsaw_side="key")
+            if getattr(self.args, "jigsaw_sides", "alternate") == "both":
+                # --jigsaw-sides both: one step, jigsaw head on both encoders
+                both = make_train_step(self.cfg, self.optimizer, self.mesh, jigsaw_side="both")
+                self.train_step_jigsaw_q = self.train_step_jigsaw_k = both
+            else:
+                self.train_step_jigsaw_q = make_train_step(self.cfg, self.optimizer, self.mesh, jigsaw_side="query")
+                self.train_step_jigsaw_k = make_train_step(self.cfg, self.optimizer, self.mesh, jigsaw_side="key")
         self.eval_step = make_eval_step(self.cfg, self.mesh)
         self.embed_fn = make_embed_fn(self.cfg, self.mesh)
         self.key_embed_fn = make_embed_fn(self.cfg, self.mesh, use_key_encoder=True)
