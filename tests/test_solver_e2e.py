@@ -292,3 +292,32 @@ def test_checkpoint_restore_across_mesh_shapes(tmp_path, cpu_devices):
         metrics = s2.run_train_iteration()
         assert np.isfinite(metrics["loss/nce_loss"]), (dsz, qsz)
         s2.end()
+
+
+@pytest.mark.parametrize("sides", ["alternate", "both"])
+def test_jigsaw_sides_cli_modes(tmp_path, cpu_devices, sides):
+    """--jigsaw-sides through the production CLI→solver path (the chip-soak
+    configs in tools/chip_jigsaw_matrix.sh run exactly this code). `alternate`
+    = reference parity (vince_solver.py:397-403 50/50 side choice, two
+    compiled step variants); `both` = the shipped beyond-reference option
+    (STATUS.md jigsaw table: the only random-perm mode that learns at toy
+    scale) and must collapse to ONE compiled step used for every iteration.
+    Both modes must train with finite loss and report the jigsaw metrics."""
+    from vince_tpu.solvers.vince_solver import VinceSolver
+
+    args = _args(tmp_path / sides, extra=["--jigsaw", "--jigsaw-sides", sides])
+    s = VinceSolver(args)
+    try:
+        assert s.cfg.jigsaw
+        if sides == "both":
+            assert s.train_step_jigsaw_q is s.train_step_jigsaw_k
+        else:
+            assert s.train_step_jigsaw_q is not s.train_step_jigsaw_k
+        s.reset_epoch()
+        metrics = None
+        for _ in range(2):
+            metrics = s.run_train_iteration()
+        assert np.isfinite(metrics["loss/nce_loss"])
+        assert int(np.asarray(s.state.step)) == 2
+    finally:
+        s.end()
