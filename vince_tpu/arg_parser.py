@@ -105,6 +105,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--use-videos", action="store_true")
     parser.add_argument("-e", "--iterations-per-epoch", default=10000, type=int)
     parser.add_argument("--base-lr", default=0.001, type=float)
+    # Beyond the reference: pretraining optimizer family. "sgd" = reference
+    # parity (vince_solver.py:252-265); "lars" = the large-batch layer-wise
+    # adaptive recipe (SimCLR/MoCo-v3) for pod-scale global batches — pair it
+    # with the linear-scaling rule (--base-lr ∝ global batch / 256).
+    parser.add_argument("--optimizer", default="sgd", choices=("sgd", "lars"))
     parser.add_argument("--input-width", default=224, type=int)
     parser.add_argument("--input-height", default=224, type=int)
     parser.add_argument("--use-imagenet-weights", action="store_true")

@@ -321,10 +321,12 @@ class VinceSolver(BaseSolver):
             self.start_prefetch()
 
     def _build_optimizer(self):
-        # reference setup_optimizer: SGD(lr, wd=1e-4, momentum=0.9) :252-265
+        # reference setup_optimizer: SGD(lr, wd=1e-4, momentum=0.9) :252-265;
+        # --optimizer lars is the beyond-reference large-batch (pod) recipe
         from vince_tpu.solvers.vince_step import build_vince_optimizer
 
-        return build_vince_optimizer(self.lr_schedule)
+        return build_vince_optimizer(
+            self.lr_schedule, kind=getattr(self.args, "optimizer", "sgd"))
 
     def setup_optimizer(self):
         pass  # built in setup_model (the jitted step closes over it)

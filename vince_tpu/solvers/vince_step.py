@@ -149,12 +149,28 @@ class VinceState:
     queue: QueueState
 
 
-def build_vince_optimizer(lr_schedule) -> optax.GradientTransformation:
+def build_vince_optimizer(lr_schedule, kind: str = "sgd") -> optax.GradientTransformation:
     """The pretraining optimizer (reference setup_optimizer,
     vince_solver.py:252-265: SGD lr-schedule, wd=1e-4, momentum 0.9). Pass a
     *schedule* (callable), not a float — checkpointed opt_state structure
-    depends on it, and every producer of VinceState checkpoints (solver,
-    converter tools) must agree."""
+    depends on it (and on ``kind``), and every producer of VinceState
+    checkpoints (solver, converter tools) must agree.
+
+    ``kind="lars"`` (beyond the reference): the layer-wise adaptive-rate
+    optimizer used by SimCLR/MoCo-v3 for large-batch contrastive pretraining
+    (You et al. 2017) — the pod-scale recipe where the global batch grows with
+    the data-axis size and plain SGD destabilizes. Trust-ratio adaptation and
+    weight decay are masked to matrix/conv kernels only (ndim > 1); biases and
+    BN/GN scale/bias take the plain momentum step — the standard exclusion.
+    """
+    if kind == "lars":
+        def mask(params):
+            return jax.tree_util.tree_map(lambda p: jnp.ndim(p) > 1, params)
+        return optax.lars(
+            lr_schedule, weight_decay=1e-4, weight_decay_mask=mask,
+            trust_ratio_mask=mask, momentum=0.9,
+        )
+    assert kind == "sgd", f"unknown optimizer kind {kind!r}"
     return optax.chain(
         optax.add_decayed_weights(1e-4),
         optax.sgd(lr_schedule, momentum=0.9),
