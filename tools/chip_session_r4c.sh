@@ -46,4 +46,27 @@ run soak_jigsaw_both_cli python solver_runner.py \
   --mesh-data-size 1 --mesh-queue-size 1 --num-workers 2 \
   --synthetic-num-videos 256
 
+# ---- 3. LARS vs SGD on the pinned synthetic-video task -----------------------
+# Same config both legs (3 epochs × 500 steps, q=4096, 64²); SGD is the known
+# trajectory family (STATUS.md round-1: 0.046 → 0.887 over 10 epochs). LARS
+# uses the linear-scaling starting LR (0.3 · b/256, SimCLR recipe).
+COMMON_ARGS=(
+  --solver VinceSolver --backbone ResNet18 --dataset SyntheticVideoDataset
+  --transform StandardVideoTransform --use-videos --inter-batch-comparison
+  --batch-size 128 --num-frames 4
+  --vince-queue-size 4096 --vince-embedding-size 128
+  --epochs 3 --iterations-per-epoch 500
+  --compute-dtype bfloat16 --bn-fold expand
+  --input-width 64 --input-height 64
+  --base-logdir "$OUT/logs" --save-frequency 500 --log-frequency 100
+  --mesh-data-size 1 --mesh-queue-size 1 --num-workers 2
+  --synthetic-num-videos 256
+)
+run soak_sgd_3ep python solver_runner.py \
+  --title soak_sgd_3ep --description sgd3 --base-lr 0.03 \
+  "${COMMON_ARGS[@]}"
+run soak_lars_3ep python solver_runner.py \
+  --title soak_lars_3ep --description lars3 --optimizer lars --base-lr 0.15 \
+  "${COMMON_ARGS[@]}"
+
 echo "=== chip session done $(date +%H:%M:%S) ==="
