@@ -321,3 +321,13 @@ def test_jigsaw_sides_cli_modes(tmp_path, cpu_devices, sides):
         assert int(np.asarray(s.state.step)) == 2
     finally:
         s.end()
+
+
+def test_jigsaw_sides_without_jigsaw_rejected(tmp_path):
+    """--jigsaw-sides without --jigsaw is a mis-typed command: the solver only
+    consults jigsaw_sides when jigsaw is on, so silently training the plain
+    path would waste a run (round-4 advisor finding)."""
+    with pytest.raises(AssertionError, match="jigsaw-sides requires --jigsaw"):
+        _args(tmp_path, extra=["--jigsaw-sides", "both"])
+    # the default value stays legal without --jigsaw
+    assert _args(tmp_path).jigsaw_sides == "alternate"

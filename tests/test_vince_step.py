@@ -70,8 +70,9 @@ def test_train_step_runs_and_updates(setup):
     rng = np.random.RandomState(0)
     batch = _make_batch(cfg, rng)
     p0 = tree_norm(state.params)
-    k0 = tree_norm(state.key_params)
     q0 = np.asarray(jax.device_get(state.queue.vectors))
+    # snapshot before the step: the jitted step donates the state buffers
+    key0_t = jax.device_get(state.key_params)
 
     state2, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
     metrics = jax.device_get(metrics)
@@ -86,7 +87,30 @@ def test_train_step_runs_and_updates(setup):
     assert int(state2.step) == 1
     assert int(state2.queue.tail) == 24  # 16 + 8 keys enqueued
     assert float(tree_norm(state2.params)) != float(p0)
-    assert float(tree_norm(state2.key_params)) != float(k0)
+    # EMA math, scale-aware (the norm-inequality form is below f32 norm
+    # resolution when (1-m)·Δθ ≈ 1e-7 relative): key1 − key0 must equal
+    # (1−m)·(θ_q1 − key0) globally, with a rounding floor of a few f32 ulps
+    # of the key-param scale. Reference semantics: vince_model.py:587-592.
+    from vince_tpu.models.vince_model import split_vince_params
+
+    tracked1, _ = split_vince_params(jax.device_get(state2.params))
+    key1_t = jax.device_get(state2.key_params)
+
+    def _cat(tree):
+        return np.concatenate(
+            [np.asarray(l, np.float64).ravel() for l in jax.tree_util.tree_leaves(tree)]
+        )
+
+    k0v, k1v, q1v = _cat(key0_t), _cat(key1_t), _cat(tracked1)
+    got = k1v - k0v
+    expect = (1.0 - cfg.momentum) * (q1v - k0v)
+    den = np.linalg.norm(expect)
+    assert den > 0, "query params did not move"
+    quant_floor = 4 * np.finfo(np.float32).eps * np.linalg.norm(k0v)
+    err = np.linalg.norm(got - expect)
+    assert err <= 0.05 * den + quant_floor, (err, den, quant_floor)
+    # and the keys actually moved at the expected scale (EMA was not a no-op)
+    assert np.linalg.norm(got) > 0.5 * den - quant_floor
     q1 = np.asarray(jax.device_get(state2.queue.vectors))
     assert not np.allclose(q0, q1)
     # only the first 24 global rows changed

@@ -24,6 +24,11 @@ def main(argv=None):
     parser.add_argument("--queue-size", type=int, default=65536)
     parser.add_argument("--image-size", type=int, default=224)
     parser.add_argument("--step", type=int, default=0)
+    parser.add_argument(
+        "--optimizer", default="sgd", choices=("sgd", "lars"),
+        help="must match the --optimizer the restored run will use: the "
+        "checkpointed opt_state *structure* depends on it",
+    )
     args = parser.parse_args(argv)
 
     import jax
@@ -58,7 +63,9 @@ def main(argv=None):
     # MUST mirror VinceSolver._build_optimizer so the checkpointed opt_state
     # tree restores into the solver (schedule hyperparams don't matter for a
     # step-0 conversion; the *structure* does)
-    optimizer = build_vince_optimizer(vince_lr_schedule(0.03, 200, 5000))
+    optimizer = build_vince_optimizer(
+        vince_lr_schedule(0.03, 200, 5000), kind=args.optimizer
+    )
     state = init_vince_state(jax.random.PRNGKey(0), cfg, optimizer)
 
     params = dict(state.params)

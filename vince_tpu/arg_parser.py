@@ -321,6 +321,11 @@ def finalize_args(args) -> argparse.Namespace:
         not args.self_batch_comparison
     ) or args.inter_batch_comparison, "self-batch-comparison requires inter-batch-comparison"
     assert args.multi_frame or args.num_frames == 1, "--no-multi-frame needs num_frames == 1"
+    # --jigsaw-sides is only consulted when --jigsaw is on; a non-default value
+    # without it is almost certainly a mis-typed command (round-4 advisor)
+    assert (
+        getattr(args, "jigsaw_sides", "alternate") == "alternate" or args.jigsaw
+    ), "--jigsaw-sides requires --jigsaw (it is ignored on the plain path)"
 
     args.tensorboard_dir = os.path.join(
         args.base_logdir, args.title, args.tensorboard_dir,
