@@ -24,11 +24,21 @@ MoCo-style ResNet50 training at ~167 frames/sec per 2020-era datacenter GPU
 (8-GPU host, MoCo's published 53h/200ep on ImageNet-1.28M ⇒ ~1340 img/s ÷ 8).
 The reference's single-process DataParallel would be at or below this.
 
-Env overrides: BENCH_BATCH (default 128), BENCH_STEPS (default 10),
+Spread protocol (round 5): a single 10-step sample was a coin flip over the
+±3% same-day tunnel variance (docs/compiler_flags_r4.json: 66.1/67.5/69.5 ms
+for identical code), so the headline is now the MEDIAN of BENCH_RUNS
+(default 3) independent subprocess runs of BENCH_STEPS (default 30) timed
+steps each, and the JSON carries a "spread" field
+{runs, fps, step_ms, min, max, rel_spread} so round-over-round trends are
+readable against the error bar. The persistent compile cache makes runs 2-3
+cheap (~steps only).
+
+Env overrides: BENCH_BATCH (default 128), BENCH_STEPS (default 30),
+BENCH_RUNS (median-of-N subprocess runs, default 3),
 BENCH_BACKBONE (ResNet50), BENCH_IMAGE (224), BENCH_QUEUE (65536),
 BENCH_FUSED=1 (Pallas streaming InfoNCE kernel), BENCH_SE_KIND (mul|fold),
 BENCH_TIMEOUT (per-attempt compute budget, s), BENCH_TUNNEL_WAIT (pre-flight),
-BENCH_RETRIES (extra attempts after the first, default 1),
+BENCH_RETRIES (extra attempts after the first, per run, default 1),
 BENCH_XLA_FLAGS (extra compiler options, comma-separated k=v — see
 tools/exp_compiler_flags.py).
 """
@@ -146,6 +156,43 @@ def run_with_retry(child_cmd, timeout_s: float, retries: int,
     progress = _read_progress(progress_path)
     progress["last_error"] = last_err
     return {"_failed": True, "progress": progress}
+
+
+def run_median_of(child_cmd, timeout_s, retries, n_runs, progress_path,
+                  probe=None, env=None):
+    """Median-of-N protocol: each run is its own killable subprocess (the
+    persistent compile cache makes runs 2+ cheap); the median defeats the
+    ±3% tunnel variance a single sample is hostage to. Returns
+    ``(result_with_spread, last_failed)`` — result is None when every run
+    failed. The reported record is the run closest to the median fps so
+    value/step_ms/mxu_util cohere, plus a "spread" field with all samples.
+    """
+    runs, last_failed = [], None
+    for i in range(n_runs):
+        r = run_with_retry(
+            child_cmd, timeout_s, retries, progress_path, probe=probe, env=env,
+        )
+        if r.get("_failed"):
+            last_failed = r
+            print(f"# bench run {i} failed: "
+                  f"{r.get('progress', {}).get('last_error')}", file=sys.stderr)
+        else:
+            runs.append(r)
+    if not runs:
+        return None, last_failed
+    fps_vals = sorted(r["value"] for r in runs)
+    median_fps = float(np.median(fps_vals))
+    result = min(runs, key=lambda r: abs(r["value"] - median_fps))
+    result["spread"] = {
+        "runs": len(runs),
+        "requested_runs": n_runs,
+        "fps": [r["value"] for r in runs],
+        "step_ms": [r.get("step_ms") for r in runs],
+        "min": fps_vals[0],
+        "max": fps_vals[-1],
+        "rel_spread": round((fps_vals[-1] - fps_vals[0]) / max(fps_vals[-1], 1e-9), 4),
+    }
+    return result, last_failed
 
 
 def _progress_writer(path: str):
@@ -288,7 +335,7 @@ def run_bench(batch: int, steps: int, backbone: str, image: int,
 def inner_main():
     """Child process: run the measured section and print one JSON line."""
     batch = int(os.environ.get("BENCH_BATCH", 128))
-    steps = int(os.environ.get("BENCH_STEPS", 10))
+    steps = int(os.environ.get("BENCH_STEPS", 30))
     backbone = os.environ.get("BENCH_BACKBONE", "ResNet50")
     image = int(os.environ.get("BENCH_IMAGE", 224))
     queue_size = int(os.environ.get("BENCH_QUEUE", 65536))
@@ -352,24 +399,22 @@ def main():
     def probe():
         return _wait_for_backend(min(tunnel_wait, 600))
 
-    result = run_with_retry(
-        child_cmd, timeout_s, retries, progress_path, probe=probe, env=env,
+    n_runs = int(os.environ.get("BENCH_RUNS", 3))
+    result, last_failed = run_median_of(
+        child_cmd, timeout_s, retries, n_runs, progress_path, probe=probe,
+        env=env,
     )
-    if result.get("_failed"):
-        _emit_error(
-            f"bench did not complete within {timeout_s:.0f}s/attempt "
-            f"({1 + retries} attempts; TPU tunnel wedge?)",
-            result.get("progress", {}),
-        )
-        try:
-            os.unlink(progress_path)
-        except OSError:
-            pass
-        sys.exit(17)
     try:
         os.unlink(progress_path)
     except OSError:
         pass
+    if result is None:
+        _emit_error(
+            f"bench did not complete within {timeout_s:.0f}s/attempt "
+            f"({n_runs} runs x {1 + retries} attempts; TPU tunnel wedge?)",
+            (last_failed or {}).get("progress", {}),
+        )
+        sys.exit(17)
     print(json.dumps(result))
 
 

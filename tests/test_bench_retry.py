@@ -91,6 +91,60 @@ def test_child_failure_rc_is_retried_then_reported(tmp_path):
     assert "rc=3" in out["progress"]["last_error"]
 
 
+def _varying_child(tmp_path, values):
+    """A child that prints a result whose value depends on the invocation
+    count (sentinel files), emulating run-to-run tunnel variance."""
+    sentinel = tmp_path / "mruns"
+    code = (
+        "import json, os, sys\n"
+        f"d = {str(repr(str(sentinel)))}\n"
+        "os.makedirs(d, exist_ok=True)\n"
+        "n = len(os.listdir(d))\n"
+        "open(os.path.join(d, str(n)), 'w').close()\n"
+        f"vals = {values!r}\n"
+        "if vals[n] is None:\n"
+        "    sys.exit(3)\n"
+        "print(json.dumps({'metric': 'm', 'value': vals[n], 'unit': 'u',\n"
+        "                  'vs_baseline': 1.0, 'step_ms': 1000.0/vals[n]}))\n"
+    )
+    return [sys.executable, "-c", code]
+
+
+def test_median_of_runs_reports_spread(tmp_path):
+    """VERDICT r4 item 4: the headline is the median of N subprocess runs and
+    the JSON carries a spread field, so a single ±3% tunnel sample can't pass
+    as the round's number."""
+    cmd = _varying_child(tmp_path, [1900.0, 2000.0, 1950.0])
+    out, _ = bench.run_median_of(cmd, timeout_s=10, retries=0, n_runs=3,
+                                 progress_path=str(tmp_path / "none"))
+    assert out["value"] == 1950.0  # the median run's record
+    sp = out["spread"]
+    assert sp["runs"] == 3 and sp["requested_runs"] == 3
+    assert sorted(sp["fps"]) == [1900.0, 1950.0, 2000.0]
+    assert sp["min"] == 1900.0 and sp["max"] == 2000.0
+    assert sp["rel_spread"] == pytest.approx(100.0 / 2000.0, abs=1e-4)
+
+
+def test_median_tolerates_one_failed_run(tmp_path):
+    cmd = _varying_child(tmp_path, [1900.0, None, 1950.0])
+    out, last_failed = bench.run_median_of(
+        cmd, timeout_s=10, retries=0, n_runs=3,
+        progress_path=str(tmp_path / "none"))
+    assert out["spread"]["runs"] == 2
+    assert out["spread"]["requested_runs"] == 3
+    assert out["value"] in (1900.0, 1950.0)
+    assert last_failed["_failed"]
+
+
+def test_median_all_failed_returns_none(tmp_path):
+    cmd = [sys.executable, "-c", "import sys; sys.exit(3)"]
+    out, last_failed = bench.run_median_of(
+        cmd, timeout_s=10, retries=0, n_runs=2,
+        progress_path=str(tmp_path / "none"))
+    assert out is None
+    assert "rc=3" in last_failed["progress"]["last_error"]
+
+
 def test_inner_smoke_cpu():
     """End-to-end: the BENCH_INNER child runs a tiny config on the CPU backend
     and prints a JSON line carrying the round-4 step_ms/mxu_util/config fields
