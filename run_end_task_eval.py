@@ -14,7 +14,15 @@ def main():
         jax.config.update("jax_platforms", args.platform)
     solver = get_solver_class(args.solver or "EndTaskImagenetSolver")(args)
     try:
-        solver.run_eval()
+        res = solver.run_eval()
+        if res:
+            # machine-readable line for tools/first_networked_host.py's
+            # ±0.005 parity check against the reference README table
+            import json
+
+            print("EVAL_RESULT " + json.dumps(
+                {k: float(v) for k, v in res.items()}, sort_keys=True
+            ))
     finally:
         solver.end()
 
