@@ -190,6 +190,54 @@ def audit(md: int, mq: int, batch_per_chip: int, image: int, queue_size: int,
     return cfg, colls, hlo, t_lower, t_compile
 
 
+def analytic_table(cfg, optimizer, batch_per_chip: int):
+    """SCALING.md's collective cost model as numbers (VERDICT r4 item 6):
+    what each collective in the compiled step MUST move, derived from config
+    shapes only — so HLO drift (an accidental reshard, a widened gather, a
+    dropped fusion) fails mechanically instead of needing a human to re-read
+    the audit printout.
+
+    All byte figures use the element size the CPU HLO actually carries
+    (f32 — XLA:CPU upcasts bf16; on chip the image/embedding payloads are
+    bf16/f32 with the same dims, so dims-exact assertions transfer).
+    """
+    from vince_tpu.solvers.vince_step import init_vince_state
+
+    state_shapes = jax.eval_shape(
+        lambda r: init_vince_state(r, cfg, optimizer), jax.random.PRNGKey(0)
+    )
+
+    def nbytes(tree):
+        return int(sum(
+            int(np.prod(l.shape)) * l.dtype.itemsize
+            for l in jax.tree_util.tree_leaves(tree)
+        ))
+
+    d = cfg.data_axis_size
+    img = cfg.image_size
+    elt = 4  # CPU HLO element size (f32)
+    return {
+        # grads are param-dtype (f32): the data-axis pmean and (mq>1) the
+        # queue-axis psum each move the whole tree
+        "param_bytes": nbytes(state_shapes.params),
+        # new_batch_stats AND key_batch_stats are pmean'd over data
+        "stat_bytes": nbytes(state_shapes.batch_stats),
+        # shuffled-BN 'gather' mode: every chip receives the global key batch
+        # [d·b, H, W, 3] (ops/queue shuffle; reference vince_model.py:137-142)
+        "img_gather_bytes": d * batch_per_chip * img * img * 3 * elt,
+        "img_gather_dims": (d * batch_per_chip, img, img, 3),
+        # 'a2a' mode: the balanced shuffle's instruction carries exactly the
+        # local batch (b rows, split d ways) — 1/d of the gather payload;
+        # (d-1)/d of those rows leave the chip
+        "a2a_bytes": batch_per_chip * img * img * 3 * elt,
+        # key-embedding unshuffle / MoCo concat_all_gather: [d·b, D] f32
+        "embed_gather_bytes": d * batch_per_chip * cfg.embed_size * 4,
+        "embed_gather_dims": (d * batch_per_chip, cfg.embed_size),
+        # streaming-softmax psum pairs + metric scalars ride along — small
+        "small_slack_bytes": 4096,
+    }
+
+
 def summarize(colls):
     agg = collections.Counter()
     bytes_agg = collections.Counter()
