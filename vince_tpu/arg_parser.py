@@ -82,6 +82,16 @@ def build_parser() -> argparse.ArgumentParser:
     # (docs/jigsaw_both_r4.json 0.35 vs ≤1/batch; STATUS.md jigsaw table).
     parser.add_argument("--jigsaw-sides", default="alternate",
                         choices=("alternate", "both"))
+    # Beyond the reference: when synthetic fallbacks are in play (no
+    # --data-path), use the NON-color-separable texture family for tracking
+    # smoke data (tracking.sequences.TextureSequences) so above-chance
+    # results cannot come from color histograms.
+    parser.add_argument("--synthetic-texture", action="store_true")
+    # Beyond the reference: PIRL-style same-image coupling between the jigsaw
+    # head and the plain projection, the demonstrated remedy for the
+    # alternating scheme's cross-head-alignment blocker (round-4 control
+    # matrix; docs/jigsaw_alternate_fixed_r5.json). 0.0 = reference parity.
+    parser.add_argument("--jigsaw-align-weight", default=0.0, type=float)
     parser.add_argument("--freeze-feature-extractor", action="store_true")
 
     # Loss args (:91-101)
@@ -326,6 +336,9 @@ def finalize_args(args) -> argparse.Namespace:
     assert (
         getattr(args, "jigsaw_sides", "alternate") == "alternate" or args.jigsaw
     ), "--jigsaw-sides requires --jigsaw (it is ignored on the plain path)"
+    assert (
+        getattr(args, "jigsaw_align_weight", 0.0) == 0.0 or args.jigsaw
+    ), "--jigsaw-align-weight requires --jigsaw (it is ignored on the plain path)"
 
     args.tensorboard_dir = os.path.join(
         args.base_logdir, args.title, args.tensorboard_dir,

@@ -8,6 +8,8 @@ from vince_tpu.data.r2v2_dataset import GOT10KR2V2Dataset, R2V2Dataset
 from vince_tpu.data.synthetic_dataset import (
     SyntheticClipDataset,
     SyntheticImageDataset,
+    SyntheticTextureClipDataset,
+    SyntheticTextureImageDataset,
     SyntheticTextureVideoDataset,
     SyntheticVideoDataset,
 )
@@ -26,6 +28,8 @@ __all__ = [
     "SyntheticTextureVideoDataset",
     "SyntheticImageDataset",
     "SyntheticClipDataset",
+    "SyntheticTextureImageDataset",
+    "SyntheticTextureClipDataset",
 ]
 
 

@@ -51,6 +51,10 @@ class GOT10kDataset(PairDataset):
     def __init__(self, args, data_subset: str = "train", pairs_per_seq: int = 25):
         if getattr(args, "data_path", None):
             seqs = GOT10kSequences(args.data_path, "train" if data_subset == "train" else "val")
+        elif getattr(args, "synthetic_texture", False):
+            from vince_tpu.tracking.sequences import TextureSequences
+
+            seqs = TextureSequences(num_seqs=8)
         else:
             seqs = SyntheticSequences(num_seqs=8)
         super().__init__(

@@ -513,7 +513,9 @@ class EndTaskTrackingSolver(EndTaskBaseSolver):
             **kwargs,
         )
         root = os.path.join(self.args.data_path, "otb100") if self.args.data_path else None
-        experiment = ExperimentOTB(root)
+        experiment = ExperimentOTB(
+            root, texture=getattr(self.args, "synthetic_texture", False)
+        )
         results = experiment.run(tracker)
         if results.get("synthetic"):
             print("OTB results (SYNTHETIC smoke fallback — not a real OTB "

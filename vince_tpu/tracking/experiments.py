@@ -42,11 +42,18 @@ class ExperimentOTB:
     """OTB-2015 protocol: one-pass evaluation (OPE)."""
 
     def __init__(self, root: Optional[str], result_dir: str = "results/OTB2015",
-                 sequences=None):
+                 sequences=None, texture: bool = False):
         if sequences is not None:
             self.sequences = sequences
         elif root and os.path.isdir(root):
             self.sequences = OTBSequences(root)
+        elif texture:
+            # non-color-separable smoke eval: grating target over grating
+            # background (tracking.sequences.TextureSequences)
+            from vince_tpu.tracking.sequences import TextureSequences
+
+            print("OTB data not found; using TEXTURE sequences for smoke eval")
+            self.sequences = TextureSequences(num_seqs=3, num_frames=12)
         else:
             print("OTB data not found; using synthetic sequences for smoke eval")
             self.sequences = SyntheticSequences(num_seqs=3, num_frames=12)

