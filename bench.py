@@ -315,6 +315,9 @@ def run_bench(batch: int, steps: int, backbone: str, image: int,
     # sanity vs physics: frames/s must be below the chip's bf16 peak budget
     flops_per_frame = {
         "ResNet18": 4 * 3.6e9, "ResNet34": 4 * 7.3e9, "ResNet50": 4 * 8.2e9,
+        # width-multiplied variants (tools/roofline_model.py ResNet50w{2,4}
+        # fwd TFLOP / batch): the MXU positive-control configs
+        "ResNet50w2": 4 * 35.2e9, "ResNet50w4": 4 * 139.9e9,
         "EfficientNetB0": 4 * 0.8e9,
     }.get(backbone, 4 * 8.2e9)
     peak_fps = 197e12 / flops_per_frame

@@ -38,20 +38,26 @@ def bn_ops(n, h, w, c, fused_stats=False, name=""):
     return {"name": name, "flops": 0, "bytes": stat + 2 * act, "out": (n, h, w, c)}
 
 
-def resnet_layers(depth, n, img):
-    """(name, kind, shape) op list for one forward pass, bn-fold 'expand'."""
+def resnet_layers(depth, n, img, width=1):
+    """(name, kind, shape) op list for one forward pass, bn-fold 'expand'.
+    ``width`` is the SimCLR-style channel multiplier (ResNet50w2 etc.):
+    conv FLOPs scale ~width², activation traffic ~width — arithmetic
+    intensity grows ~width, which is what makes the w2 variant the MXU
+    positive-control config (VERDICT r4 item 5)."""
     ops = []
+    c0 = 64 * width
     h = img // 2  # s2d stem output 112
-    ops.append(conv_ops(n, img, img, 3, 64, 7, 2, "stem conv"))
-    ops.append(bn_ops(n, h, h, 64, fused_stats=True, name="stem bn"))
+    ops.append(conv_ops(n, img, img, 3, c0, 7, 2, "stem conv"))
+    ops.append(bn_ops(n, h, h, c0, fused_stats=True, name="stem bn"))
     h = h // 2  # maxpool 56
     ops.append({"name": "maxpool", "flops": 0,
-                "bytes": n * (2 * h) * (2 * h) * 64 * A + n * h * h * 64 * A,
-                "out": (n, h, h, 64)})
+                "bytes": n * (2 * h) * (2 * h) * c0 * A + n * h * h * c0 * A,
+                "out": (n, h, h, c0)})
     if depth == 50:
-        stages = [(3, 64), (4, 128), (6, 256), (3, 512)]
+        stages = [(3, 64 * width), (4, 128 * width), (6, 256 * width),
+                  (3, 512 * width)]
         for si, (blocks, cm) in enumerate(stages):
-            cin = 64 if si == 0 else stages[si - 1][1] * 4
+            cin = c0 if si == 0 else stages[si - 1][1] * 4
             stride = 1 if si == 0 else 2
             for b in range(blocks):
                 s = stride if b == 0 else 1
@@ -74,9 +80,10 @@ def resnet_layers(depth, n, img):
                     ops[-1]["flops"] += 2 * n * h * h * ci * ci // (s * s)
                 h = h2
     else:  # ResNet18
-        stages = [(2, 64), (2, 128), (2, 256), (2, 512)]
+        stages = [(2, 64 * width), (2, 128 * width), (2, 256 * width),
+                  (2, 512 * width)]
         for si, (blocks, cm) in enumerate(stages):
-            cin = 64 if si == 0 else stages[si - 1][1]
+            cin = c0 if si == 0 else stages[si - 1][1]
             stride = 1 if si == 0 else 2
             for b in range(blocks):
                 s = stride if b == 0 else 1
@@ -165,7 +172,11 @@ def main():
         fwd = effnet_layers(n, img, variant=f"b{m.group(1)}")
     else:
         depth = 50 if "50" in arch else 18
-        fwd = resnet_layers(depth, n, img)
+        wm = re.search(r"w(\d)", arch)
+        width = int(wm.group(1)) if wm else 1
+        fwd = resnet_layers(depth, n, img, width=width)
+        if width > 1:
+            depth = f"{depth}w{width}"
     fwd_flops = sum(o["flops"] for o in fwd)
     fwd_bytes = sum(o["bytes"] for o in fwd)
 

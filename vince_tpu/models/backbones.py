@@ -17,6 +17,8 @@ __all__ = [
     "ResNet18",
     "ResNet34",
     "ResNet50",
+    "ResNet50w2",
+    "ResNet50w4",
     "ResNet18SiamFCDilated",
     "ResNet50SiamFCDilated",
     "EfficientNetB0",
@@ -29,6 +31,8 @@ __all__ = [
 ResNet18 = resnet.ResNet18
 ResNet34 = resnet.ResNet34
 ResNet50 = resnet.ResNet50
+ResNet50w2 = resnet.ResNet50w2
+ResNet50w4 = resnet.ResNet50w4
 ResNet18SiamFCDilated = resnet.ResNet18SiamFCDilated
 ResNet50SiamFCDilated = resnet.ResNet50SiamFCDilated
 EfficientNetB0 = efficientnet.EfficientNetB0

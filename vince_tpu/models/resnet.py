@@ -575,6 +575,15 @@ ResNet34 = functools.partial(ResNet, stage_sizes=[3, 4, 6, 3], block_cls=BasicBl
 ResNet50 = functools.partial(ResNet, stage_sizes=[3, 4, 6, 3], block_cls=Bottleneck)
 ResNet101 = functools.partial(ResNet, stage_sizes=[3, 4, 23, 3], block_cls=Bottleneck)
 ResNet152 = functools.partial(ResNet, stage_sizes=[3, 8, 36, 3], block_cls=Bottleneck)
+# SimCLR-style width multipliers (Chen et al. 2020, ResNet50-{2x,4x}): conv
+# FLOPs scale ~width², activation traffic ~width — arithmetic intensity grows
+# ~width, which makes these the compute-bound MXU positive-control configs
+# (tools/roofline_model.py ResNet50w2/w4: 71%/82% composite-floor MXU ceiling
+# vs 49% for ResNet50 at b=128@224 on v5e)
+ResNet50w2 = functools.partial(
+    ResNet, stage_sizes=[3, 4, 6, 3], block_cls=Bottleneck, num_filters=128)
+ResNet50w4 = functools.partial(
+    ResNet, stage_sizes=[3, 4, 6, 3], block_cls=Bottleneck, num_filters=256)
 
 # Dense-feature variants for SiamFC tracking: stride→dilation in layer3/4
 # (reference backbone_models.py:78-89 ResNet18SiamFCDilated / ResNet50SiamFCDilated)
