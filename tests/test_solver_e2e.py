@@ -323,6 +323,32 @@ def test_jigsaw_sides_cli_modes(tmp_path, cpu_devices, sides):
         s.end()
 
 
+def test_jigsaw_align_weight_cli(tmp_path, cpu_devices):
+    """--jigsaw-align-weight through the production CLI→solver path: the
+    round-5 remedy for the alternation cross-head blocker (PIRL-style
+    same-image coupling). Both alternation step variants must train with
+    finite loss and report the alignment channels."""
+    from vince_tpu.solvers.vince_solver import VinceSolver
+
+    args = _args(tmp_path / "align",
+                 extra=["--jigsaw", "--jigsaw-align-weight", "0.5"])
+    s = VinceSolver(args)
+    try:
+        assert s.cfg.jigsaw_align_weight == 0.5
+        s.reset_epoch()
+        metrics = None
+        # each iteration draws a 50/50 side (reference parity); the align
+        # term is attached to BOTH compiled variants, so any draw covers it
+        for _ in range(2):
+            metrics = s.run_train_iteration()
+        assert np.isfinite(metrics["loss/nce_loss"])
+        assert "loss/nce_loss_align" in metrics, sorted(metrics)
+        assert np.isfinite(metrics["loss/nce_loss_align"])
+        assert 0.0 <= float(metrics["nce_accuracy_align"]) <= 1.0
+    finally:
+        s.end()
+
+
 def test_jigsaw_sides_without_jigsaw_rejected(tmp_path):
     """--jigsaw-sides without --jigsaw is a mis-typed command: the solver only
     consults jigsaw_sides when jigsaw is on, so silently training the plain

@@ -58,6 +58,10 @@ def main():
                          "both sides, like the plain path) — isolates the "
                          "cross-head (plain-embedding vs jigsaw-head) alignment "
                          "difficulty of the reference's 50/50 alternation")
+    ap.add_argument("--align-weight", type=float, default=0.0,
+                    help="PIRL-style cross-head alignment weight for the "
+                         "alternating scheme (VinceConfig.jigsaw_align_weight) "
+                         "— the round-5 remedy for the cross-head blocker")
     args = ap.parse_args()
     assert not (args.plain and (args.identity_perms or args.both_sides))
 
@@ -94,6 +98,7 @@ def main():
         momentum=args.momentum,
         jigsaw=not args.plain,
         jigsaw_identity_perms=args.identity_perms,
+        jigsaw_align_weight=args.align_weight,
         inter_batch=True,
         data_axis_size=md,
         queue_axis_size=mq,
@@ -171,11 +176,13 @@ def main():
             "jigsaw_both_sides" if args.both_sides else "jigsaw")
     if args.identity_perms:
         mode += "+identity_perms"
+    if args.align_weight > 0:
+        mode += f"+align{args.align_weight:g}"
     summary = {
         "mode": mode,
         "config": {k: getattr(args, k) for k in
                    ("steps", "batch", "num_ids", "image", "queue", "embed",
-                    "lr", "momentum", "tau")},
+                    "lr", "momentum", "tau", "align_weight")},
         "mesh": f"{md}x{mq}",
         "platform": jax.devices()[0].platform,
         # argmax-over-candidates accuracy; with untrained/tied embeddings it

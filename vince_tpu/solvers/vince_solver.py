@@ -188,6 +188,7 @@ class VinceSolver(BaseSolver):
             self_batch=args.self_batch_comparison,
             use_attention=args.use_attention,
             jigsaw=args.jigsaw,
+            jigsaw_align_weight=getattr(args, "jigsaw_align_weight", 0.0),
             shuffle_bn=getattr(args, "shuffle_bn", True),
             shuffle_mode=getattr(args, "shuffle_mode", "gather"),
             compute_dtype=dtype,

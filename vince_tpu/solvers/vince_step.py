@@ -121,6 +121,19 @@ class VinceConfig:
     # identity permutation — isolates permutation-invariance difficulty from
     # the rest of the jigsaw pipeline. Never used in production configs.
     jigsaw_identity_perms: bool = False
+    # --jigsaw-align-weight: PIRL-style cross-head alignment term for the
+    # reference's 50/50 alternating jigsaw (vince_model.py:196-210). The
+    # round-4 control matrix isolated the alternation blocker to cross-head
+    # alignment: the jigsaw head and the plain projection never converge to a
+    # shared embedding space when each gets gradients only on alternating
+    # steps against a drifting EMA target. With weight w > 0, every
+    # alternation step ALSO embeds the query images through the *other*
+    # query-side head and adds w·InfoNCE(other_head_emb, global query emb)
+    # with the same positive mask — exactly PIRL's f(v_I)↔g(v_{I_t})
+    # same-image coupling (Misra & van der Maaten 2019, eq. 5), which the
+    # reference's alternation dropped. Costs one extra query forward per
+    # step; 0.0 = reference parity (off).
+    jigsaw_align_weight: float = 0.0
 
     @property
     def total_batch(self) -> int:
@@ -475,6 +488,33 @@ def make_train_step_fn(
                         add(f"imagenet_loss_{di}", ce)
                         acc = (jnp.argmax(logits, -1) == labels).astype(jnp.float32).mean()
                         metrics.setdefault(f"imagenet_accuracy_{di}", []).append(acc)
+
+            # PIRL-style cross-head alignment (see VinceConfig.jigsaw_align_weight):
+            # embed the same query images through the OTHER query-side head and
+            # pull same-sample/same-video pairs together across the two heads.
+            if cfg.jigsaw_align_weight > 0 and jigsaw_side in ("query", "key"):
+                # second train-mode pass over the same images; its BN-stat
+                # mutation is discarded (the main pass already updated stats)
+                out_a, _ = encoder_apply(
+                    params,
+                    state.batch_stats,
+                    q_all,
+                    jax.random.fold_in(jax.random.fold_in(step_rng, 4), d_idx),
+                    jigsaw=(jigsaw_side == "key"),  # the head the main q pass skipped
+                )
+                a_sources = _split_sources(
+                    cfg, out_a["embeddings"].astype(jnp.float32)
+                )
+                for si, src in enumerate(cfg.sources):
+                    mask, _ = _source_masks(cfg, src, d_idx)
+                    q_global = gather_global_batch(q_sources[si]).reshape(-1, embed_dim)
+                    align = sharded_multi_pair_infonce(
+                        a_sources[si], q_global, mask, cfg.temperature,
+                    )
+                    add("nce_loss_align", cfg.jigsaw_align_weight * align["dist"])
+                    metrics.setdefault("nce_accuracy_align", []).append(
+                        align["nce_accuracy"]
+                    )
 
             # reference vince_solver.py:430-446 — stack per-source dicts, mean
             # per key, total = sum of keys
