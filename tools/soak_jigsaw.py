@@ -62,6 +62,13 @@ def main():
                     help="PIRL-style cross-head alignment weight for the "
                          "alternating scheme (VinceConfig.jigsaw_align_weight) "
                          "— the round-5 remedy for the cross-head blocker")
+    ap.add_argument("--warmup-both", type=int, default=0,
+                    help="remedy candidate 2 (VERDICT r4 item 2): run the "
+                         "first N steps with BOTH sides jigsawed (the mode "
+                         "that demonstrably learns, 0.82 val NCE) so the "
+                         "jigsaw head and encoder co-train into one embedding "
+                         "space, then switch to the reference's 50/50 "
+                         "alternation")
     args = ap.parse_args()
     assert not (args.plain and (args.identity_perms or args.both_sides))
 
@@ -120,6 +127,8 @@ def main():
             "query": make_train_step(cfg, opt, mesh, jigsaw_side="query"),
             "key": make_train_step(cfg, opt, mesh, jigsaw_side="key"),
         }
+        if args.warmup_both:
+            steps["both"] = make_train_step(cfg, opt, mesh, jigsaw_side="both")
 
     # identity-grid task (tests/test_jigsaw_learning.py): identity i = fixed
     # 3×3 grid of 9 distinct random cell colors; pool ≫ queue so stale bank
@@ -146,6 +155,8 @@ def main():
         if args.plain:
             fn = steps["plain"]
         elif args.both_sides:
+            fn = steps["both"]
+        elif i < args.warmup_both:
             fn = steps["both"]
         else:
             # reference vince_solver.py:397-403: 50/50 which side is jigsawed
@@ -178,11 +189,13 @@ def main():
         mode += "+identity_perms"
     if args.align_weight > 0:
         mode += f"+align{args.align_weight:g}"
+    if args.warmup_both:
+        mode += f"+warmup_both{args.warmup_both}"
     summary = {
         "mode": mode,
         "config": {k: getattr(args, k) for k in
                    ("steps", "batch", "num_ids", "image", "queue", "embed",
-                    "lr", "momentum", "tau", "align_weight")},
+                    "lr", "momentum", "tau", "align_weight", "warmup_both")},
         "mesh": f"{md}x{mq}",
         "platform": jax.devices()[0].platform,
         # argmax-over-candidates accuracy; with untrained/tied embeddings it
