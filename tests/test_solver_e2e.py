@@ -349,6 +349,48 @@ def test_jigsaw_align_weight_cli(tmp_path, cpu_devices):
         s.end()
 
 
+def test_jigsaw_warmup_steps_cli(tmp_path, cpu_devices):
+    """--jigsaw-warmup-steps through the production CLI→solver path: the
+    first N optimizer steps run the both-sides step (the mode that learns),
+    then the loop switches to the reference's 50/50 alternation. Counted by
+    wrapping the compiled step attributes the loop selects from."""
+    from vince_tpu.solvers.vince_solver import VinceSolver
+
+    args = _args(tmp_path / "warmup",
+                 extra=["--jigsaw", "--jigsaw-warmup-steps", "2"])
+    s = VinceSolver(args)
+    try:
+        assert s.train_step_jigsaw_both is not s.train_step_jigsaw_q
+        calls = {"both": 0, "alt": 0}
+
+        def _wrap(fn, key):
+            def inner(*a, **k):
+                calls[key] += 1
+                return fn(*a, **k)
+            return inner
+
+        s.train_step_jigsaw_both = _wrap(s.train_step_jigsaw_both, "both")
+        s.train_step_jigsaw_q = _wrap(s.train_step_jigsaw_q, "alt")
+        s.train_step_jigsaw_k = _wrap(s.train_step_jigsaw_k, "alt")
+        s.reset_epoch()
+        metrics = None
+        for _ in range(3):
+            metrics = s.run_train_iteration()
+        assert calls == {"both": 2, "alt": 1}, calls
+        assert np.isfinite(metrics["loss/nce_loss"])
+    finally:
+        s.end()
+
+
+def test_jigsaw_warmup_invariants(tmp_path):
+    """--jigsaw-warmup-steps composes only with the alternating scheme."""
+    with pytest.raises(AssertionError, match="jigsaw-warmup-steps requires"):
+        _args(tmp_path, extra=["--jigsaw-warmup-steps", "100"])
+    with pytest.raises(AssertionError, match="jigsaw-warmup-steps requires"):
+        _args(tmp_path, extra=["--jigsaw", "--jigsaw-sides", "both",
+                               "--jigsaw-warmup-steps", "100"])
+
+
 def test_jigsaw_sides_without_jigsaw_rejected(tmp_path):
     """--jigsaw-sides without --jigsaw is a mis-typed command: the solver only
     consults jigsaw_sides when jigsaw is on, so silently training the plain

@@ -92,6 +92,12 @@ def build_parser() -> argparse.ArgumentParser:
     # alternating scheme's cross-head-alignment blocker (round-4 control
     # matrix; docs/jigsaw_alternate_fixed_r5.json). 0.0 = reference parity.
     parser.add_argument("--jigsaw-align-weight", default=0.0, type=float)
+    # Beyond the reference: run the first N optimizer steps with the jigsaw
+    # head on BOTH sides (the mode that learns) before switching to the
+    # reference's 50/50 alternation — co-trains the jigsaw head and encoder
+    # into one embedding space so alternation starts aligned instead of
+    # chasing a drifting cross-head target (docs/jigsaw_warmup_alt_r5.json).
+    parser.add_argument("--jigsaw-warmup-steps", default=0, type=int)
     parser.add_argument("--freeze-feature-extractor", action="store_true")
 
     # Loss args (:91-101)
@@ -339,6 +345,9 @@ def finalize_args(args) -> argparse.Namespace:
     assert (
         getattr(args, "jigsaw_align_weight", 0.0) == 0.0 or args.jigsaw
     ), "--jigsaw-align-weight requires --jigsaw (it is ignored on the plain path)"
+    assert getattr(args, "jigsaw_warmup_steps", 0) == 0 or (
+        args.jigsaw and getattr(args, "jigsaw_sides", "alternate") == "alternate"
+    ), "--jigsaw-warmup-steps requires --jigsaw with --jigsaw-sides alternate"
 
     args.tensorboard_dir = os.path.join(
         args.base_logdir, args.title, args.tensorboard_dir,

@@ -289,6 +289,10 @@ class VinceSolver(BaseSolver):
             else:
                 self.train_step_jigsaw_q = make_train_step(self.cfg, self.optimizer, self.mesh, jigsaw_side="query")
                 self.train_step_jigsaw_k = make_train_step(self.cfg, self.optimizer, self.mesh, jigsaw_side="key")
+                if getattr(self.args, "jigsaw_warmup_steps", 0) > 0:
+                    # --jigsaw-warmup-steps: both-sides phase before alternation
+                    self.train_step_jigsaw_both = make_train_step(
+                        self.cfg, self.optimizer, self.mesh, jigsaw_side="both")
         self.eval_step = make_eval_step(self.cfg, self.mesh)
         self.embed_fn = make_embed_fn(self.cfg, self.mesh)
         self.key_embed_fn = make_embed_fn(self.cfg, self.mesh, use_key_encoder=True)
@@ -519,12 +523,15 @@ class VinceSolver(BaseSolver):
         self.time_meters["data_cache_time"].update(watch.lap())
 
         if self.cfg.jigsaw:
-            # reference vince_solver.py:397-403 — 50/50 which side is jigsawed
-            step_fn = (
-                self.train_step_jigsaw_k
-                if self._np_rng.rand() < 0.5
-                else self.train_step_jigsaw_q
-            )
+            if self.global_step < getattr(self.args, "jigsaw_warmup_steps", 0):
+                step_fn = self.train_step_jigsaw_both
+            else:
+                # reference vince_solver.py:397-403 — 50/50 which side is jigsawed
+                step_fn = (
+                    self.train_step_jigsaw_k
+                    if self._np_rng.rand() < 0.5
+                    else self.train_step_jigsaw_q
+                )
         else:
             step_fn = self.train_step
         self.state, metrics = step_fn(self.state, device_batch, self._step_rng)
