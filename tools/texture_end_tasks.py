@@ -100,7 +100,10 @@ def main():
             "--batch-size", str(args.batch),
             "--vince-queue-size", str(args.queue),
             "--iterations-per-epoch", str(iters), "--epochs", "1",
-            "--base-lr", "0.01", "--vince-momentum", "0.99", "--no-warmup",
+            # the round-4 sustaining config: at b=32, lr 0.01/m 0.99 degenerates
+            # to the 1/batch attractor regardless of objective (jigsaw control
+            # matrix, docs/plain_lr003_m999_r4.json) — lr 0.003/m 0.999 learns
+            "--base-lr", "0.003", "--vince-momentum", "0.999", "--no-warmup",
             "--mesh-queue-size", str(mq),
             "--synthetic-num-videos", "4096",
             "--save-frequency", str(iters),
