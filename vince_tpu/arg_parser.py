@@ -88,9 +88,11 @@ def build_parser() -> argparse.ArgumentParser:
     # results cannot come from color histograms.
     parser.add_argument("--synthetic-texture", action="store_true")
     # Beyond the reference: PIRL-style same-image coupling between the jigsaw
-    # head and the plain projection, the demonstrated remedy for the
-    # alternating scheme's cross-head-alignment blocker (round-4 control
-    # matrix; docs/jigsaw_alternate_fixed_r5.json). 0.0 = reference parity.
+    # head and the plain projection. Alone it unpins the alternating scheme's
+    # loss but not its accuracy (docs/jigsaw_align_only_r5.json); the
+    # demonstrated remedy is --jigsaw-warmup-steps, to which this term is
+    # neutral-to-slightly-positive (docs/jigsaw_alternate_fixed_r5.json).
+    # 0.0 = reference parity.
     parser.add_argument("--jigsaw-align-weight", default=0.0, type=float)
     # Beyond the reference: run the first N optimizer steps with the jigsaw
     # head on BOTH sides (the mode that learns) before switching to the
