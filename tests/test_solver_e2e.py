@@ -382,6 +382,41 @@ def test_jigsaw_warmup_steps_cli(tmp_path, cpu_devices):
         s.end()
 
 
+def test_jigsaw_warmup_mix_cli(tmp_path, cpu_devices):
+    """--jigsaw-warmup-mix: during warmup, PLAIN steps interleave 50/50 with
+    both-sides steps (so the plain projection co-trains — pure both-sides
+    warmup leaves it random and the production-scale handoff collapses,
+    docs/jigsaw_warmup_cli_r5.json). After warmup: reference alternation."""
+    from vince_tpu.solvers.vince_solver import VinceSolver
+
+    args = _args(tmp_path / "warmupmix",
+                 extra=["--jigsaw", "--jigsaw-warmup-steps", "4",
+                        "--jigsaw-warmup-mix"])
+    s = VinceSolver(args)
+    try:
+        calls = {"both": 0, "plain": 0, "alt": 0}
+
+        def _wrap(fn, key):
+            def inner(*a, **k):
+                calls[key] += 1
+                return fn(*a, **k)
+            return inner
+
+        s.train_step_jigsaw_both = _wrap(s.train_step_jigsaw_both, "both")
+        s.train_step = _wrap(s.train_step, "plain")
+        s.train_step_jigsaw_q = _wrap(s.train_step_jigsaw_q, "alt")
+        s.train_step_jigsaw_k = _wrap(s.train_step_jigsaw_k, "alt")
+        s.reset_epoch()
+        metrics = None
+        for _ in range(5):
+            metrics = s.run_train_iteration()
+        # steps 0,2 both; 1,3 plain; 4 alternation
+        assert calls == {"both": 2, "plain": 2, "alt": 1}, calls
+        assert np.isfinite(metrics["loss/nce_loss"])
+    finally:
+        s.end()
+
+
 def test_jigsaw_warmup_invariants(tmp_path):
     """--jigsaw-warmup-steps composes only with the alternating scheme."""
     with pytest.raises(AssertionError, match="jigsaw-warmup-steps requires"):
@@ -389,6 +424,8 @@ def test_jigsaw_warmup_invariants(tmp_path):
     with pytest.raises(AssertionError, match="jigsaw-warmup-steps requires"):
         _args(tmp_path, extra=["--jigsaw", "--jigsaw-sides", "both",
                                "--jigsaw-warmup-steps", "100"])
+    with pytest.raises(AssertionError, match="jigsaw-warmup-mix requires"):
+        _args(tmp_path, extra=["--jigsaw", "--jigsaw-warmup-mix"])
 
 
 def test_jigsaw_sides_without_jigsaw_rejected(tmp_path):

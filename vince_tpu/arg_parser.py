@@ -100,6 +100,12 @@ def build_parser() -> argparse.ArgumentParser:
     # into one embedding space so alternation starts aligned instead of
     # chasing a drifting cross-head target (docs/jigsaw_warmup_alt_r5.json).
     parser.add_argument("--jigsaw-warmup-steps", default=0, type=int)
+    # During the warmup phase, interleave PLAIN steps 50/50 with the
+    # both-sides jigsaw steps so the plain projection head co-trains with
+    # the jigsaw head (pure both-sides warmup never trains the plain head —
+    # at production scale its random embeddings poison the queue at the
+    # handoff and the alternation collapses; docs/jigsaw_warmup_cli_r5.json).
+    parser.add_argument("--jigsaw-warmup-mix", action="store_true")
     parser.add_argument("--freeze-feature-extractor", action="store_true")
 
     # Loss args (:91-101)
@@ -350,6 +356,9 @@ def finalize_args(args) -> argparse.Namespace:
     assert getattr(args, "jigsaw_warmup_steps", 0) == 0 or (
         args.jigsaw and getattr(args, "jigsaw_sides", "alternate") == "alternate"
     ), "--jigsaw-warmup-steps requires --jigsaw with --jigsaw-sides alternate"
+    assert not getattr(args, "jigsaw_warmup_mix", False) or (
+        getattr(args, "jigsaw_warmup_steps", 0) > 0
+    ), "--jigsaw-warmup-mix requires --jigsaw-warmup-steps > 0"
 
     args.tensorboard_dir = os.path.join(
         args.base_logdir, args.title, args.tensorboard_dir,

@@ -524,7 +524,12 @@ class VinceSolver(BaseSolver):
 
         if self.cfg.jigsaw:
             if self.global_step < getattr(self.args, "jigsaw_warmup_steps", 0):
-                step_fn = self.train_step_jigsaw_both
+                if (getattr(self.args, "jigsaw_warmup_mix", False)
+                        and self.global_step % 2 == 1):
+                    # mixed warmup: plain leg (trains the plain projection)
+                    step_fn = self.train_step
+                else:
+                    step_fn = self.train_step_jigsaw_both
             else:
                 # reference vince_solver.py:397-403 — 50/50 which side is jigsawed
                 step_fn = (
