@@ -32,6 +32,9 @@ LEGS = {
     "warmup3000_mixed": (
         "jigsaw_warmup_mix_cli",
         "--jigsaw-warmup-steps 3000 --jigsaw-warmup-mix"),
+    "warmup3000_mixed_16ep": (
+        "jigsaw_warmup_mix16_cli",
+        "--jigsaw-warmup-steps 3000 --jigsaw-warmup-mix --epochs 16"),
 }
 
 
