@@ -104,7 +104,7 @@ def build_parser() -> argparse.ArgumentParser:
     # both-sides jigsaw steps so the plain projection head co-trains with
     # the jigsaw head (pure both-sides warmup never trains the plain head —
     # at production scale its random embeddings poison the queue at the
-    # handoff and the alternation collapses; docs/jigsaw_warmup_cli_r5.json).
+    # handoff and the alternation collapses; docs/jigsaw_production_cli_r5.json).
     parser.add_argument("--jigsaw-warmup-mix", action="store_true")
     parser.add_argument("--freeze-feature-extractor", action="store_true")
 
