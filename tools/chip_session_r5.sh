@@ -37,7 +37,7 @@ BENCH_BACKBONE=ResNet50w4 BENCH_BATCH=64 run bench_r50w4 python bench.py
 # alternation stays <= 1/batch at 16k steps; the align term must separate.
 run jigsaw_align python tools/soak_jigsaw.py \
   --steps 8000 --lr 0.003 --momentum 0.999 --tau 0.07 \
-  --align-weight 1.0 --out docs/jigsaw_alternate_fixed_r5.json
+  --align-weight 1.0 --out docs/jigsaw_align_only_r5.json
 
 # ---- 4. LARS vs SGD (same pinned synthetic-video task, 3 epochs each) --------
 COMMON_ARGS=(
