@@ -35,6 +35,10 @@ LEGS = {
     "warmup3000_mixed_16ep": (
         "jigsaw_warmup_mix16_cli",
         "--jigsaw-warmup-steps 3000 --jigsaw-warmup-mix --epochs 16"),
+    "warmup3000_mixed_align1": (
+        "jigsaw_warmup_mix_align_cli",
+        "--jigsaw-warmup-steps 3000 --jigsaw-warmup-mix "
+        "--jigsaw-align-weight 1.0"),
 }
 
 
